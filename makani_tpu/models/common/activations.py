@@ -1,0 +1,85 @@
+"""Real and complex activation functions.
+
+Complex variants mirror the reference behaviors
+(ref: makani/models/common/activations.py:20-100).
+"""
+
+from typing import Optional, Tuple, Callable
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+
+def get_activation(name: str) -> Callable:
+    if name == "relu":
+        return jax.nn.relu
+    if name == "gelu":
+        # tanh-approx gelu matches torch.nn.GELU closely and is TPU-friendly
+        return jax.nn.gelu
+    if name == "silu":
+        return jax.nn.silu
+    if name == "identity" or name == "none":
+        return lambda x: x
+    raise ValueError(f"Unknown activation function {name}")
+
+
+class ComplexReLU(nn.Module):
+    """Complex-valued ReLU variants: cartesian | modulus | halfplane | real."""
+
+    negative_slope: float = 0.0
+    mode: str = "real"
+    bias_shape: Optional[Tuple[int, ...]] = None
+    scale: float = 1.0
+
+    def _leaky(self, x):
+        return jnp.where(x >= 0, x, self.negative_slope * x)
+
+    @nn.compact
+    def __call__(self, z):
+        if self.mode in ["modulus", "halfplane"]:
+            shape = self.bias_shape if self.bias_shape is not None else (1,)
+            bias = self.param("bias", lambda key, s: self.scale * jnp.ones(s, jnp.float32), shape)
+        else:
+            bias = 0.0
+
+        if self.mode == "cartesian":
+            return jax.lax.complex(self._leaky(jnp.real(z)), self._leaky(jnp.imag(z)))
+
+        if self.mode == "modulus":
+            zabs = jnp.sqrt(jnp.square(jnp.real(z)) + jnp.square(jnp.imag(z)))
+            cond = (zabs + bias) > 0
+            safe = jnp.where(zabs == 0, 1.0, zabs)
+            out = jnp.where(cond, ((zabs + bias) / safe).astype(z.dtype) * z, 0.0)
+            return out
+
+        if self.mode == "halfplane":
+            angle = jnp.angle(z) - bias
+            cond = jnp.logical_and(0.0 <= angle, angle < jnp.pi / 2.0)
+            return jnp.where(cond, z, self.negative_slope * z)
+
+        if self.mode == "real":
+            return jax.lax.complex(self._leaky(jnp.real(z)), jnp.imag(z))
+
+        raise NotImplementedError(f"Unknown complex activation mode {self.mode}")
+
+
+class ComplexActivation(nn.Module):
+    """Wrap a real activation for complex inputs (cartesian or modulus mode)."""
+
+    activation: Callable
+    mode: str = "cartesian"
+    bias_shape: Optional[Tuple[int, ...]] = None
+
+    @nn.compact
+    def __call__(self, z):
+        if self.mode == "cartesian":
+            return jax.lax.complex(self.activation(jnp.real(z)), self.activation(jnp.imag(z)))
+        if self.mode == "modulus":
+            shape = self.bias_shape if self.bias_shape is not None else (1,)
+            bias = self.param("bias", nn.initializers.zeros, shape)
+            zabs = jnp.sqrt(jnp.square(jnp.real(z)) + jnp.square(jnp.imag(z)))
+            theta = jnp.angle(z)
+            mag = self.activation(zabs + bias)
+            return (mag * jnp.exp(1.0j * theta)).astype(z.dtype)
+        return z

@@ -1,0 +1,175 @@
+"""Spectral convolution and spectral attention layers (flax.linen).
+
+The core SFNO ops (ref: makani/models/common/spectral_convolution.py:43-405):
+forward spectral transform (SHT or FFT, always f32) -> complex weight
+contraction -> inverse transform. Complex weights are stored as real (..., 2)
+pairs so optimizers/checkpointing stay real-valued and Pallas kernels can
+consume them directly.
+"""
+
+import math
+from typing import Any, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from makani_tpu.ops.complex_ops import view_as_complex, get_contract_fun
+from makani_tpu.models.common.activations import ComplexReLU
+
+
+def _spectral_weight_init(scale_per_l, shape, l_axis):
+    """Complex weight init: N(0,1) * scale(l), with the l=0 row scaled by
+    sqrt(2) (the m=0/l=0 coefficient is effectively real; ref:
+    spectral_convolution.py:98-101). Returns real pairs (..., 2)."""
+
+    def init(key, *, dtype=jnp.float32):
+        w = jax.random.normal(key, tuple(shape) + (2,), dtype)
+        bshape = [1] * (len(shape) + 1)
+        bshape[l_axis] = shape[l_axis]
+        return w * scale_per_l.reshape(bshape)
+
+    return init
+
+
+class SpectralConv(nn.Module):
+    """Linear spectral convolution on the sphere (or torus via FFT).
+
+    forward_transform / inverse_transform are RealSHT/InverseRealSHT (or
+    RealFFT2/InverseRealFFT2) instances; their (nlat, nlon, grid) determine
+    whether a resolution-changing residual must be computed
+    (ref: spectral_convolution.py:62-64).
+    """
+
+    forward_transform: Any
+    inverse_transform: Any
+    in_channels: int
+    out_channels: int
+    operator_type: str = "diagonal"
+    separable: bool = False
+    bias: Union[bool, str] = False
+    gain: float = 1.0
+
+    @nn.compact
+    def __call__(self, x):
+        fwd_t, inv_t = self.forward_transform, self.inverse_transform
+        modes_lat, modes_lon = inv_t.lmax, inv_t.mmax
+
+        scale_residual = (fwd_t.nlat != inv_t.nlat) or (fwd_t.nlon != inv_t.nlon)
+        if hasattr(fwd_t, "grid"):
+            scale_residual = scale_residual or (fwd_t.grid != getattr(inv_t, "grid", None))
+
+        # weight shape
+        weight_shape = [self.in_channels]
+        if not self.separable:
+            weight_shape += [self.out_channels]
+        if self.operator_type == "diagonal":
+            weight_shape += [modes_lat, modes_lon]
+            l_axis = len(weight_shape) - 2
+        elif self.operator_type == "dhconv":
+            weight_shape += [modes_lat]
+            l_axis = len(weight_shape) - 1
+        else:
+            raise ValueError(f"Unsupported operator type {self.operator_type}")
+
+        scale = math.sqrt(self.gain / self.in_channels) * jnp.ones((modes_lat,), jnp.float32)
+        scale = scale.at[0].mul(math.sqrt(2.0))
+        weight = self.param("weight", _spectral_weight_init(scale, weight_shape, l_axis))
+
+        contract = get_contract_fun(self.operator_type, self.separable)
+
+        dtype = x.dtype
+        residual = x
+        x = x.astype(jnp.float32)
+
+        # transforms always run in f32 (ref: spectral_convolution.py:130-141)
+        x = fwd_t(x)
+        if scale_residual:
+            residual = inv_t(x).astype(dtype)
+
+        x = contract(x, view_as_complex(weight))
+
+        x = inv_t(x)
+
+        if self.bias == "constant":
+            b = self.param("bias_const", nn.initializers.zeros, (1, self.out_channels, 1, 1))
+            x = x + b
+        elif self.bias == "position":
+            b = self.param("bias_pos", nn.initializers.zeros, (1, self.out_channels, inv_t.nlat, inv_t.nlon))
+            x = x + b
+
+        return x.astype(dtype), residual
+
+
+class SpectralAttention(nn.Module):
+    """Non-linear spectral MLP in coefficient space
+    (ref: spectral_convolution.py:268-405)."""
+
+    forward_transform: Any
+    inverse_transform: Any
+    in_channels: int
+    out_channels: int
+    operator_type: str = "diagonal"
+    hidden_size_factor: int = 2
+    complex_activation: str = "real"
+    bias: bool = False
+    spectral_layers: int = 1
+    drop_rate: float = 0.0
+    gain: float = 1.0
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        fwd_t, inv_t = self.forward_transform, self.inverse_transform
+        modes_lat = fwd_t.lmax
+
+        scale_residual = (
+            (fwd_t.nlat != inv_t.nlat)
+            or (fwd_t.nlon != inv_t.nlon)
+            or (getattr(fwd_t, "grid", None) != getattr(inv_t, "grid", None))
+        )
+
+        hidden_size = int(self.hidden_size_factor * self.in_channels)
+
+        def cplx_param(name, shape, std):
+            init = lambda key: std * jax.random.normal(key, tuple(shape) + (2,), jnp.float32)
+            return view_as_complex(self.param(name, lambda key: init(key)))
+
+        dtype = x.dtype
+        residual = x
+        x = x.astype(jnp.float32)
+
+        x = fwd_t(x)
+        if scale_residual:
+            residual = inv_t(x).astype(dtype)
+
+        # spectral MLP
+        scale_out = math.sqrt(self.gain / self.in_channels)
+        for l in range(self.spectral_layers):
+            in_dim = self.in_channels if l == 0 else hidden_size
+            std = math.sqrt(2.0 / float(in_dim))
+            if self.operator_type == "diagonal":
+                w = cplx_param(f"w_{l}", (in_dim, hidden_size), std)
+                x = jnp.einsum("bixy,io->boxy", x, w)
+            elif self.operator_type == "l-dependant":
+                w = cplx_param(f"w_{l}", (modes_lat, in_dim, hidden_size), std)
+                x = jnp.einsum("bixy,xio->boxy", x, w)
+            else:
+                raise ValueError("Unknown operator type")
+            if self.bias:
+                b = cplx_param(f"b_{l}", (hidden_size, 1, 1), scale_out)
+                x = x + b
+            x = ComplexReLU(mode=self.complex_activation, bias_shape=(hidden_size, 1, 1),
+                            scale=scale_out, name=f"act_{l}")(x)
+            if self.drop_rate > 0.0:
+                x = nn.Dropout(rate=self.drop_rate)(x, deterministic=deterministic)
+
+        if self.operator_type == "diagonal":
+            wout = cplx_param("wout", (hidden_size, self.out_channels), scale_out)
+            x = jnp.einsum("bixy,io->boxy", x, wout)
+        else:
+            wout = cplx_param("wout", (modes_lat, hidden_size, self.out_channels), scale_out)
+            x = jnp.einsum("bixy,xio->boxy", x, wout)
+
+        x = inv_t(x)
+
+        return x.astype(dtype), residual

@@ -1,0 +1,100 @@
+"""Complex arithmetic helpers and spectral contraction kernels.
+
+The spectral-weight contractions of the FNO family (ref:
+makani/models/common/contractions.py:19-178). At the jnp level these are
+einsums over complex64 activations; weights are stored as real (..., 2) pairs
+(TPU/optimizer/checkpoint-friendly) and viewed as complex at use time. This
+module is the single seam where Pallas kernels replace XLA einsums on the hot
+path.
+"""
+
+import jax
+import jax.numpy as jnp
+
+_PRECISION = jax.lax.Precision.HIGHEST
+
+
+def view_as_complex(x):
+    """(..., 2) real -> (...) complex."""
+    return jax.lax.complex(x[..., 0], x[..., 1])
+
+
+def view_as_real(z):
+    """(...) complex -> (..., 2) real."""
+    return jnp.stack([jnp.real(z), jnp.imag(z)], axis=-1)
+
+
+def _cplx_einsum(eq, x, w):
+    """Complex einsum via 3 real contractions (Karatsuba-free 4-mult form kept
+    simple: XLA fuses; explicit split avoids complex-dot lowering on TPU)."""
+    xr, xi = jnp.real(x), jnp.imag(x)
+    wr, wi = jnp.real(w), jnp.imag(w)
+    rr = jnp.einsum(eq, xr, wr, precision=_PRECISION)
+    ri = jnp.einsum(eq, xr, wi, precision=_PRECISION)
+    ir = jnp.einsum(eq, xi, wr, precision=_PRECISION)
+    ii = jnp.einsum(eq, xi, wi, precision=_PRECISION)
+    return jax.lax.complex(rr - ii, ri + ir)
+
+
+# --- contraction zoo (complex activations x complex weights) ---
+
+def compl_mul1d(x, w):
+    return _cplx_einsum("bix,io->box", x, w)
+
+
+def compl_mul2d(x, w):
+    return _cplx_einsum("bixy,io->boxy", x, w)
+
+
+def compl_muladd2d(x, w, b):
+    return compl_mul2d(x, w) + b
+
+
+def compl_exp_mul2d(x, w):
+    """l-dependent channel mixing (per-l dense)."""
+    return _cplx_einsum("bixy,xio->boxy", x, w)
+
+
+def compl_exp_muladd2d(x, w, b):
+    return compl_exp_mul2d(x, w) + b
+
+
+def contract_diagonal(x, w):
+    return _cplx_einsum("bixy,ioxy->boxy", x, w)
+
+
+def contract_dhconv(x, w):
+    return _cplx_einsum("bixy,iox->boxy", x, w)
+
+
+def contract_sep_diagonal(x, w):
+    return _cplx_einsum("bixy,ixy->bixy", x, w)
+
+
+def contract_sep_dhconv(x, w):
+    return _cplx_einsum("bixy,ix->bixy", x, w)
+
+
+def contract_rank(x, w, a, b):
+    xr = _cplx_einsum("bixy,ior->borxy", x, w)
+    # contract the rank dimension with the two positional factors
+    ar = jnp.einsum("borxy,xr->borxy", xr, a.astype(xr.dtype))
+    br = jnp.einsum("borxy,yr->boxy", ar, b.astype(xr.dtype))
+    return br
+
+
+CONTRACT_HANDLES = {
+    ("diagonal", False): contract_diagonal,
+    ("dhconv", False): contract_dhconv,
+    ("diagonal", True): contract_sep_diagonal,
+    ("dhconv", True): contract_sep_dhconv,
+}
+
+
+def get_contract_fun(operator_type, separable=False):
+    """Dispatch matching the reference factorization helper
+    (ref: makani/models/common/factorizations.py:202-247)."""
+    key = (operator_type, separable)
+    if key not in CONTRACT_HANDLES:
+        raise ValueError(f"Unsupported operator type {operator_type} (separable={separable})")
+    return CONTRACT_HANDLES[key]
