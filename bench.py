@@ -1,0 +1,101 @@
+"""Benchmark harness: SFNO-73ch training throughput on the local chip.
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+
+The flagship config is the reference's canonical single-device model
+(SFNO 73ch, 721x1440, embed 384, 8 layers, scale_factor 3, bf16 AMP;
+ref: config/sfnonet.yaml:162-173). The reference publishes no throughput
+numbers (BASELINE.md), so vs_baseline is reported against the previous
+round's value when available (BENCH_prev.json), else 1.0.
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from makani_tpu.models.networks import SphericalFourierNeuralOperatorNet
+
+    # allow shrinking the benchmark for debugging
+    nlat = int(os.environ.get("BENCH_NLAT", 721))
+    nlon = int(os.environ.get("BENCH_NLON", 1440))
+    chans = int(os.environ.get("BENCH_CHANS", 73))
+    embed = int(os.environ.get("BENCH_EMBED", 384))
+    layers = int(os.environ.get("BENCH_LAYERS", 8))
+    batch = int(os.environ.get("BENCH_BATCH", 1))
+    n_iters = int(os.environ.get("BENCH_ITERS", 10))
+    checkpointing = int(os.environ.get("BENCH_CKPT", 2))
+
+    model = SphericalFourierNeuralOperatorNet(
+        inp_shape=(nlat, nlon), out_shape=(nlat, nlon), scale_factor=3,
+        inp_chans=chans, out_chans=chans, embed_dim=embed, num_layers=layers,
+        operator_type="dhconv", normalization_layer="instance_norm",
+        use_mlp=True, mlp_ratio=2.0, activation_function="gelu",
+        hard_thresholding_fraction=1.0, big_skip=True,
+        checkpointing=checkpointing,
+    )
+
+    tx = optax.chain(optax.clip_by_global_norm(32.0), optax.adam(1e-3))
+
+    def init_fn(key, x):
+        variables = model.init(key, x)
+        params = variables["params"]
+        return params, tx.init(params)
+
+    def train_step(params, opt_state, x, y):
+        def loss_fn(p):
+            pred = model.apply({"params": p}, x).astype(jnp.float32)
+            return jnp.mean((pred - y) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(batch, chans, nlat, nlon).astype(np.float32)).astype(jnp.bfloat16)
+    y = jnp.asarray(rng.randn(batch, chans, nlat, nlon).astype(np.float32))
+
+    key = jax.random.PRNGKey(0)
+    params, opt_state = jax.jit(init_fn)(key, x)
+    step = jax.jit(train_step, donate_argnums=(0, 1))
+
+    # warmup + compile
+    params, opt_state, loss = step(params, opt_state, x, y)
+    jax.block_until_ready(loss)
+
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        params, opt_state, loss = step(params, opt_state, x, y)
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+
+    steps_per_sec = n_iters / dt
+
+    vs_baseline = 1.0
+    prev_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_prev.json")
+    if os.path.exists(prev_path):
+        try:
+            with open(prev_path) as f:
+                prev = json.load(f)
+            if prev.get("value"):
+                vs_baseline = steps_per_sec / float(prev["value"])
+        except Exception:
+            pass
+
+    print(json.dumps({
+        "metric": f"SFNO-{chans}ch {nlat}x{nlon} edim{embed} L{layers} bf16 train throughput",
+        "value": round(steps_per_sec, 4),
+        "unit": "steps/sec/chip",
+        "vs_baseline": round(vs_baseline, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,152 @@
+"""Named-axis communicator built on one global jax.sharding.Mesh.
+
+TPU-native replacement for the reference's NCCL process-group tree
+(ref: makani/utils/comm.py:97-153: world -> {model -> {spatial -> {h, w},
+matmul -> {fin, fout}}, data}). Here the tree is one device mesh with axes
+("data", "h", "w", "fin", "fout"); composite groups are axis subsets:
+
+    world   = all axes          model  = ("h", "w", "fin", "fout")
+    spatial = ("h", "w")        matmul = ("fin", "fout")
+
+`data` size is derived as n_devices // (h*w*fin*fout) exactly like the
+reference (comm.py:128-130). Collectives are XLA named-axis collectives
+(psum / all_gather / all_to_all) inside shard_map or GSPMD-inserted under jit.
+
+Accessors degrade gracefully to serial when no mesh was initialized
+(ref behavior: comm.py:32-93).
+"""
+
+import logging
+from typing import List, Optional
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, PartitionSpec as P
+
+logger = logging.getLogger(__name__)
+
+_MESH: Optional[Mesh] = None
+
+MODEL_AXES = ("h", "w", "fin", "fout")
+COMPOSITE = {
+    "world": ("data",) + MODEL_AXES,
+    "model": MODEL_AXES,
+    "spatial": ("h", "w"),
+    "matmul": ("fin", "fout"),
+}
+
+
+def init(model_parallel_sizes: List[int] = (1, 1, 1, 1),
+         model_parallel_names: List[str] = ("h", "w", "fin", "fout"),
+         params=None, verbose: bool = False,
+         devices=None) -> int:
+    """Build the global mesh. Returns the world rank (process index).
+
+    Mirrors comm.init (ref: comm.py:97-153): model-parallel sizes for the
+    named axes; the data axis absorbs the remaining devices.
+    """
+    global _MESH
+
+    sizes = dict(zip(model_parallel_names, model_parallel_sizes))
+    for ax in MODEL_AXES:
+        sizes.setdefault(ax, 1)
+
+    if devices is None:
+        devices = jax.devices()
+    n_devices = len(devices)
+
+    model_size = int(np.prod([sizes[ax] for ax in MODEL_AXES]))
+    if n_devices % model_size != 0:
+        raise ValueError(
+            f"Error, the number of devices {n_devices} must be divisible by the "
+            f"model parallel size {model_size}")
+    data_size = n_devices // model_size
+
+    axis_sizes = (data_size,) + tuple(sizes[ax] for ax in MODEL_AXES)
+    axis_names = ("data",) + MODEL_AXES
+
+    dev_array = np.asarray(devices).reshape(axis_sizes)
+    _MESH = Mesh(dev_array, axis_names)
+
+    if verbose:
+        logger.info(f"mesh: {dict(zip(axis_names, axis_sizes))}")
+
+    return jax.process_index()
+
+
+def is_initialized() -> bool:
+    return _MESH is not None
+
+
+def get_mesh() -> Mesh:
+    if _MESH is None:
+        # default serial mesh over all devices (pure data parallel)
+        init()
+    return _MESH
+
+
+def reset():
+    global _MESH
+    _MESH = None
+
+
+def get_names():
+    return list(COMPOSITE.keys()) + list(MODEL_AXES)
+
+
+def get_size(name: str) -> int:
+    if _MESH is None:
+        return 1
+    if name in COMPOSITE:
+        return int(np.prod([_MESH.shape[ax] for ax in COMPOSITE[name]]))
+    return int(_MESH.shape[name])
+
+
+def _my_coords():
+    """Mesh coordinates of this *process* (for host-side IO sharding).
+
+    With a single process owning all devices (tests, 1 chip), every axis
+    coordinate is 0 and the host feeds global arrays that GSPMD shards.
+    With multi-process meshes, the process coordinate is derived from the
+    position of its first local device in the mesh device array.
+    """
+    if _MESH is None or jax.process_count() == 1:
+        return {ax: 0 for ax in _MESH.axis_names} if _MESH is not None else {}
+    first_local = jax.local_devices()[0]
+    idx = np.argwhere(_MESH.devices == first_local)
+    if idx.size == 0:
+        return {ax: 0 for ax in _MESH.axis_names}
+    return dict(zip(_MESH.axis_names, idx[0]))
+
+
+def get_rank(name: str) -> int:
+    if _MESH is None:
+        return 0
+    coords = _my_coords()
+    if name in COMPOSITE:
+        rank = 0
+        for ax in COMPOSITE[name]:
+            rank = rank * _MESH.shape[ax] + int(coords.get(ax, 0))
+        return rank
+    return int(coords.get(name, 0))
+
+
+def is_distributed(name: str) -> bool:
+    return get_size(name) > 1
+
+
+def get_world_size() -> int:
+    return get_size("world")
+
+
+def get_world_rank() -> int:
+    return get_rank("world")
+
+
+def get_local_rank() -> int:
+    return jax.process_index()
+
+
+def spec(*names) -> P:
+    """PartitionSpec helper: P(*names) with None passthrough."""
+    return P(*names)

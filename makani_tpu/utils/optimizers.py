@@ -1,0 +1,118 @@
+"""Optimizer and LR-schedule construction.
+
+Parity with ref: makani/utils/trainer.py:447-509 (Adam/AdamW/FusedLAMB/SGD;
+ReduceLROnPlateau/StepLR/CosineAnnealingLR/OneCycleLR + linear warmup).
+
+TPU-native design: the gradient transform is lr-free (optax chain without a
+schedule); the scalar learning rate is computed on host each step by
+``LRScheduler`` (covering the plateau scheduler's runtime feedback without
+recompilation) and passed into the jitted step, where updates are scaled by
+-lr. optax handles complex leaves natively, which erases the reference's
+patched torch optimizers (ref: makani/third_party/torch/optim/*).
+"""
+
+import math
+
+import optax
+
+
+def build_optimizer(params):
+    """Returns an lr-free optax GradientTransformation."""
+    tx = []
+
+    max_norm = params.get("optimizer_max_grad_norm", None)
+    if max_norm is not None and max_norm > 0:
+        tx.append(optax.clip_by_global_norm(float(max_norm)))
+
+    opt_type = params.get("optimizer_type", "Adam")
+    b1 = params.get("optimizer_beta1", 0.9)
+    b2 = params.get("optimizer_beta2", 0.95)
+    wd = params.get("weight_decay", 0.0)
+
+    if opt_type == "Adam":
+        tx.append(optax.scale_by_adam(b1=b1, b2=b2))
+    elif opt_type == "AdamW":
+        tx.append(optax.scale_by_adam(b1=b1, b2=b2))
+        if wd > 0:
+            tx.append(optax.add_decayed_weights(wd))
+    elif opt_type in ("FusedLAMB", "LAMB"):
+        tx.append(optax.scale_by_adam(b1=b1, b2=b2))
+        if wd > 0:
+            tx.append(optax.add_decayed_weights(wd))
+        tx.append(optax.scale_by_trust_ratio())
+    elif opt_type == "SGD":
+        momentum = params.get("momentum", 0.0)
+        if momentum > 0:
+            tx.append(optax.trace(decay=momentum))
+    else:
+        raise ValueError(f"Unknown optimizer type {opt_type}")
+
+    return optax.chain(*tx) if tx else optax.identity()
+
+
+class LRScheduler:
+    """Host-side LR computation per optimizer step.
+
+    Schedules are stepped per *epoch* like the reference (trainer.py:656-659);
+    warmup is linear over ``lr_warmup_steps`` optimizer steps
+    (SequentialLR composition, trainer.py:500-508).
+    """
+
+    def __init__(self, params):
+        self.base_lr = float(params.lr)
+        self.scheduler = params.get("scheduler", "none")
+        self.warmup_steps = int(params.get("lr_warmup_steps", 0))
+        self.start_factor = 0.1 if self.warmup_steps > 0 else 1.0
+
+        self.T_max = int(params.get("scheduler_T_max", 70))
+        self.factor = float(params.get("scheduler_factor", 0.1))
+        self.patience = int(params.get("scheduler_patience", 10))
+        self.step_size = int(params.get("scheduler_step_size", 100))
+        self.gamma = float(params.get("scheduler_gamma", 0.5))
+        self.max_epochs = int(params.get("max_epochs", 1))
+
+        # plateau state
+        self._plateau_scale = 1.0
+        self._best = float("inf")
+        self._bad_epochs = 0
+
+        self.epoch = 0
+
+    def epoch_step(self, valid_loss=None):
+        """Advance the epoch counter; feed the plateau scheduler."""
+        self.epoch += 1
+        if self.scheduler == "ReduceLROnPlateau" and valid_loss is not None:
+            if valid_loss < self._best:
+                self._best = valid_loss
+                self._bad_epochs = 0
+            else:
+                self._bad_epochs += 1
+                if self._bad_epochs > self.patience:
+                    self._plateau_scale *= self.factor
+                    self._bad_epochs = 0
+
+    def _epoch_lr(self):
+        if self.scheduler == "ReduceLROnPlateau":
+            return self.base_lr * self._plateau_scale
+        elif self.scheduler == "StepLR":
+            return self.base_lr * (self.gamma ** (self.epoch // self.step_size))
+        elif self.scheduler == "CosineAnnealingLR":
+            t = min(self.epoch, self.T_max)
+            return 0.5 * self.base_lr * (1 + math.cos(math.pi * t / self.T_max))
+        elif self.scheduler == "OneCycleLR":
+            # cosine one-cycle over max_epochs with 30% rampup (torch default pct_start=0.3)
+            pct = min(self.epoch / max(self.max_epochs, 1), 1.0)
+            if pct < 0.3:
+                return self.base_lr * (0.04 + 0.96 * pct / 0.3)
+            dec = (pct - 0.3) / 0.7
+            return self.base_lr * (0.5 * (1 + math.cos(math.pi * dec)))
+        elif self.scheduler in ("none", None, "None"):
+            return self.base_lr
+        raise ValueError(f"Scheduler {self.scheduler} not known")
+
+    def __call__(self, global_step: int) -> float:
+        lr = self._epoch_lr()
+        if self.warmup_steps > 0 and global_step < self.warmup_steps:
+            frac = global_step / float(self.warmup_steps)
+            lr = lr * (self.start_factor + (1.0 - self.start_factor) * frac)
+        return lr

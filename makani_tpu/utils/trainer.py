@@ -1,0 +1,484 @@
+"""Training engine.
+
+TPU-native re-design of ref: makani/utils/trainer.py:288-1240. The reference's
+runtime machinery maps onto JAX as follows:
+
+  - CUDA-graph capture (trainer.py:84-152)      -> jax.jit (whole train step
+    is one compiled program; static shapes by construction)
+  - AMP autocast + GradScaler (312-326,511-512) -> bf16 compute dtype on the
+    batch (TPU-native; no loss scaling needed), transforms force f32
+  - DDP + gradient hooks (514-535)              -> batch sharded over the
+    "data" mesh axis under GSPMD; the summed loss is divided by the data-axis
+    size so gradient magnitudes match the reference's MEAN-over-data semantics
+  - torch.compile / jit-script (63-81)          -> jax.jit
+  - per-epoch checkpoint + best checkpoint      -> orbax (flexible format)
+"""
+
+import logging
+import os
+import time
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from makani_tpu.data import get_dataloader, init_distributed_io
+from makani_tpu.models import model_registry
+from makani_tpu.parallel import comm
+from makani_tpu.utils import checkpoint as ckpt_lib
+from makani_tpu.utils.features import get_auxiliary_channels
+from makani_tpu.utils.losses import LossHandler
+from makani_tpu.utils.metric import MetricsHandler
+from makani_tpu.utils.optimizers import LRScheduler, build_optimizer
+
+logger = logging.getLogger(__name__)
+
+
+class Trainer:
+    def __init__(self, params, world_rank=0, job_type="train"):
+        self.params = params
+        self.world_rank = world_rank
+        self.data_parallel_size = max(comm.get_size("data"), 1)
+        self.data_parallel_rank = comm.get_rank("data")
+        self.log_to_screen = params.get("log_to_screen", False)
+
+        self.mesh = comm.get_mesh()
+
+        # dataloaders (ref: trainer.py:375-393)
+        params = init_distributed_io(params)
+        self.train_dataloader, self.train_dataset = get_dataloader(
+            params, params.train_data_path, train=True)
+        self.valid_dataloader, self.valid_dataset = get_dataloader(
+            params, params.valid_data_path, train=False)
+
+        # channel bookkeeping — the single place params are updated
+        params = self._update_parameters(params)
+        self.params = params
+
+        # model
+        self.model = model_registry.get_model(params)
+        self.preprocessor = self.model.preprocessor
+
+        # loss + metrics
+        mult, clim = self._get_time_stats()
+        self.metrics = MetricsHandler(params, mult, clim)
+        self.loss_obj = LossHandler(params)
+
+        # amp
+        self.amp_dtype = None
+        amp_mode = params.get("amp_mode", "none")
+        if amp_mode in ("bf16", "fp16"):
+            # fp16 maps to bf16 on TPU (native, no grad scaler needed)
+            self.amp_dtype = jnp.bfloat16
+
+        # optimizer + scheduler
+        self.optimizer = build_optimizer(params)
+        self.scheduler = LRScheduler(params)
+
+        # init model + optimizer state (jitted: eager mode unavailable on
+        # some TPU backends)
+        inp_shape = (
+            1, params.N_in_predicted_channels // (params.n_history + 1) * (params.n_history + 1),
+            params.img_local_shape_x, params.img_local_shape_y,
+        )
+        n_pred_chans = len(params.in_channels)
+        init_inp = jnp.zeros((1, (params.n_history + 1) * n_pred_chans,
+                              params.img_local_shape_x, params.img_local_shape_y), jnp.float32)
+        init_zen = None
+        if params.get("add_zenith", False):
+            init_zen = jnp.zeros((1, params.n_history + 1, 1,
+                                  params.img_local_shape_x, params.img_local_shape_y), jnp.float32)
+
+        def init_fn(key):
+            return self.model.init(key, init_inp, unpredicted_inp=init_zen,
+                                   deterministic=True)
+
+        key = jax.random.PRNGKey(params.get("global_seed", 333))
+        variables = jax.jit(init_fn)(key)
+        self.model_params = variables["params"]
+        self.opt_state = jax.jit(self.optimizer.init)(self.model_params)
+        self.dropout_key = jax.random.PRNGKey(params.get("global_seed", 333) + 1)
+
+        # counters
+        self.iters = 0
+        self.epoch = 0
+        self.startEpoch = 0
+
+        # compile steps
+        self._build_steps()
+
+        # restore checkpoint for resume/finetune (ref: trainer.py:586-608)
+        if params.get("resuming", False):
+            self.restore_checkpoint(params.checkpoint_path)
+        elif params.get("finetune", False) and params.get("pretrained_checkpoint_path", None):
+            self.restore_checkpoint(params.pretrained_checkpoint_path,
+                                    load_optimizer=False, load_counters=False)
+
+        n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(self.model_params))
+        if self.log_to_screen:
+            logger.info(f"number of trainable model parameters: {n_params}")
+        self.n_model_params = n_params
+
+    # ------------------------------------------------------------------
+    # parameter / stats bookkeeping
+
+    def _update_parameters(self, params):
+        """Channel math (ref: trainer.py:185-274)."""
+        ds = self.valid_dataset
+        params.N_in_channels = len(ds.in_channels)
+        params.N_out_channels = len(ds.out_channels)
+
+        params.img_shape_x = ds.img_shape_x
+        params.img_shape_y = ds.img_shape_y
+        params.img_crop_shape_x = ds.img_crop_shape_x
+        params.img_crop_shape_y = ds.img_crop_shape_y
+        params.img_crop_offset_x = ds.img_crop_offset_x
+        params.img_crop_offset_y = ds.img_crop_offset_y
+        params.img_local_shape_x = ds.img_local_shape_x
+        params.img_local_shape_y = ds.img_local_shape_y
+        params.img_local_offset_x = ds.img_local_offset_x
+        params.img_local_offset_y = ds.img_local_offset_y
+
+        params["N_in_predicted_channels"] = params.N_in_channels
+
+        if not hasattr(params, "add_zenith"):
+            params["add_zenith"] = False
+        if params.add_zenith:
+            params.N_in_channels += 1
+
+        if params.n_history >= 1:
+            params.N_in_channels = (params.n_history + 1) * params.N_in_channels
+            params.N_in_predicted_channels *= params.n_history + 1
+
+        if params.get("add_grid", False):
+            n_grid_chan = 2
+            if (params.get("gridtype") == "sinusoidal") and hasattr(params, "grid_num_frequencies"):
+                n_grid_chan *= params.grid_num_frequencies
+            params.N_in_channels += n_grid_chan
+
+        if params.get("add_orography", False):
+            params.N_in_channels += 1
+
+        if params.get("add_landmask", False):
+            params.N_in_channels += 2
+
+        params["aux_channel_names"] = get_auxiliary_channels(**params.to_dict())
+        params.N_target_channels = (params.n_future + 1) * params.N_out_channels
+
+        for key, default in [
+            ("history_normalization_mode", "none"), ("num_visualization_workers", 1),
+            ("log_video", 0), ("log_weights_and_grads", 0), ("skip_validation", False),
+            ("load_checkpoint", "legacy"), ("save_checkpoint", "legacy"),
+            ("load_optimizer", True), ("load_scheduler", True), ("load_counters", True),
+            ("print_timings_frequency", -1),
+        ]:
+            if not hasattr(params, key):
+                params[key] = default
+
+        return params
+
+    def _get_time_stats(self):
+        """Climatology + denormalization scale (ref: trainer.py:154-183)."""
+        _, out_scale = self.valid_dataloader.get_output_normalization()
+        mult = np.asarray(out_scale)[0, :, 0, 0]
+
+        if self.params.get("enable_synthetic_data", False):
+            clim = np.zeros(
+                (self.params.N_out_channels, self.params.img_crop_shape_x,
+                 self.params.img_crop_shape_y), dtype=np.float32)
+        else:
+            in_bias, in_scale = self.valid_dataloader.get_input_normalization()
+            in_bias = in_bias[0]
+            in_scale = in_scale[0]
+            start_x = self.params.img_crop_offset_x
+            end_x = start_x + self.params.img_crop_shape_x
+            start_y = self.params.img_crop_offset_y
+            end_y = start_y + self.params.img_crop_shape_y
+            time_means = np.load(self.params.time_means_path)[0, self.params.out_channels, start_x:end_x, start_y:end_y]
+            clim = ((time_means - in_bias) / in_scale).astype(np.float32)
+
+        return mult, clim
+
+    # ------------------------------------------------------------------
+    # compiled steps
+
+    def _build_steps(self):
+        model = self.model
+        prep = self.preprocessor
+        loss_obj = self.loss_obj
+        optimizer = self.optimizer
+        metrics = self.metrics
+        amp_dtype = self.amp_dtype
+        data_size = float(self.data_parallel_size)
+        valid_autoreg_steps = self.params.valid_autoreg_steps
+        out_chans = self.params.N_out_channels
+
+        def prepare(inp, tar):
+            if amp_dtype is not None:
+                inp = inp.astype(amp_dtype)
+            return inp, tar
+
+        def train_step(model_params, opt_state, inp, tar, zen_inp, zen_tar, lr, rng):
+            inp = prep.flatten_history(inp)
+            tar = prep.flatten_history(tar)
+            inp, tar = prepare(inp, tar)
+
+            def loss_fn(p):
+                pred = model.apply(
+                    {"params": p}, inp, unpredicted_inp=zen_inp,
+                    unpredicted_tar=zen_tar, deterministic=False,
+                    rngs={"dropout": rng})
+                loss = loss_obj(pred.astype(jnp.float32), tar, inp, training=True)
+                return loss
+
+            loss, grads = jax.value_and_grad(loss_fn)(model_params)
+            # match reference gradient semantics: MEAN over data ranks of
+            # local batch-sum losses (ref: mpu/mappings.py:104-172)
+            grads = jax.tree.map(lambda g: g / data_size, grads)
+            updates, new_opt_state = optimizer.update(grads, opt_state, model_params)
+            new_params = jax.tree.map(
+                lambda p, u: (p - lr * u.astype(p.dtype)) if u is not None else p,
+                model_params, updates)
+            return new_params, new_opt_state, loss / data_size
+
+        def eval_step(model_params, buffers, inp, tar, zen_inp, zen_tar):
+            """Full autoregressive rollout over the valid targets
+            (ref: trainer.py:799-890)."""
+            inpt = prep.flatten_history(inp)
+            uinp = zen_inp
+            for idt in range(valid_autoreg_steps + 1):
+                targ = prep.flatten_history(tar[:, idt: idt + 1])
+                pred_inp, _ = prepare(inpt, targ)
+                pred = model.apply(
+                    {"params": model_params}, pred_inp, unpredicted_inp=uinp,
+                    deterministic=True).astype(jnp.float32)
+                loss = loss_obj(pred, targ, inpt, training=False) / data_size
+                buffers = metrics.update(buffers, pred, targ, loss, idt)
+                uinp = prep.advance_unpredicted(uinp, zen_tar, idt)
+                inpt = prep.append_history(inpt, pred)
+            return buffers
+
+        self.train_step = jax.jit(train_step, donate_argnums=(0, 1))
+        self.eval_step = jax.jit(eval_step, donate_argnums=(1,))
+
+    def _device_batch(self, data):
+        """Host batch -> device arrays sharded over the data axis."""
+        if len(data) == 4:
+            inp, tar, zen_inp, zen_tar = data
+        else:
+            inp, tar = data
+            zen_inp = zen_tar = None
+        sharding = NamedSharding(self.mesh, P("data"))
+
+        def put(x):
+            if x is None:
+                return None
+            return jax.device_put(x, sharding)
+
+        return put(inp), put(tar), put(zen_inp), put(zen_tar)
+
+    # ------------------------------------------------------------------
+    # training loop
+
+    def train(self):
+        if self.log_to_screen:
+            logger.info("Starting Training Loop...")
+
+        training_start = time.time()
+        best_valid_loss = 1.0e6
+
+        for epoch in range(self.startEpoch, self.params.max_epochs):
+            epoch_start = time.time()
+            train_time, train_data_gb, train_logs = self.train_one_epoch()
+
+            if not self.params.skip_validation:
+                valid_time, viz_time, valid_logs = self.validate_one_epoch(epoch)
+            else:
+                valid_time, viz_time = 0, 0
+                valid_logs = {"base": {}, "metrics": {}}
+
+            self.scheduler.epoch_step(valid_logs["base"].get("validation loss"))
+
+            if (self.data_parallel_rank == 0) and (self.params.save_checkpoint != "none"):
+                self.save_checkpoint(self.params.checkpoint_path)
+                best_path = self.params.best_checkpoint_path
+                best_saved = ckpt_lib.checkpoint_exists(best_path)
+                vloss = valid_logs["base"].get("validation loss", None)
+                if (not self.params.skip_validation) and (
+                        (not best_saved) or (vloss is not None and vloss <= best_valid_loss)):
+                    self.save_checkpoint(best_path)
+                    if vloss is not None:
+                        best_valid_loss = vloss
+
+            epoch_end = time.time()
+            timing_logs = {
+                "epoch time [s]": epoch_end - epoch_start,
+                "training time [s]": train_time,
+                "validation time [s]": valid_time,
+                "visualization time [s]": viz_time,
+                "training step time [ms]": (train_time / max(train_logs["train_steps"], 1)) * 1e3,
+                "minimal IO rate [GB/s]": train_data_gb / max(train_time, 1e-9),
+            }
+            self.log_epoch(train_logs, valid_logs, timing_logs)
+
+        if self.log_to_screen:
+            logger.info("Total training time is {:.2f} sec".format(time.time() - training_start))
+
+    def train_one_epoch(self):
+        self.epoch += 1
+        total_data_bytes = 0
+        train_steps = 0
+        train_start = time.perf_counter_ns()
+        loss = None
+
+        for data in self.train_dataloader:
+            train_steps += 1
+            self.iters += 1
+
+            inp, tar, zen_inp, zen_tar = self._device_batch(data)
+            total_data_bytes += sum(0 if x is None else x.size * 4 for x in data)
+
+            lr = jnp.float32(self.scheduler(self.iters))
+            rng = jax.random.fold_in(self.dropout_key, self.iters)
+            self.model_params, self.opt_state, loss = self.train_step(
+                self.model_params, self.opt_state, inp, tar, zen_inp, zen_tar, lr, rng)
+
+            freq = self.params.print_timings_frequency
+            if freq > 0 and (self.iters % freq == 0) and self.log_to_screen:
+                jax.block_until_ready(loss)
+                running = time.perf_counter_ns() - train_start
+                logger.info(f"Average step time after step {self.iters}: {running / float(train_steps) * 1e-6:.1f} ms")
+                logger.info(
+                    f"Average effective io rate after step {self.iters}: "
+                    f"{total_data_bytes * float(comm.get_world_size()) / (float(running) * 1e-9 * 1024**3):.2f} GB/s")
+                logger.info(f"Current loss {float(loss)}")
+
+        logs = {"loss": float(jax.device_get(loss)) if loss is not None else float("nan"),
+                "train_steps": train_steps}
+
+        train_end = time.perf_counter_ns()
+        train_time = (train_end - train_start) * 1e-9
+        total_data_gb = (total_data_bytes / 1024**3) * float(comm.get_world_size())
+        return train_time, total_data_gb, logs
+
+    def validate_one_epoch(self, epoch):
+        buffers = self.metrics.initialize_buffers()
+        valid_start = time.time()
+
+        for data in self.valid_dataloader:
+            inp, tar, zen_inp, zen_tar = self._device_batch(data)
+            buffers = self.eval_step(self.model_params, buffers, inp, tar, zen_inp, zen_tar)
+
+        logs = self.metrics.finalize(buffers)
+        valid_time = time.time() - valid_start
+        return valid_time, 0.0, logs
+
+    # ------------------------------------------------------------------
+    # logging / checkpointing
+
+    def log_epoch(self, train_logs, valid_logs, timing_logs):
+        """(ref: trainer.py:892-934)."""
+        if not self.log_to_screen:
+            return
+        separator = "-" * 50
+        prefix = "    "
+        logger.info(separator)
+        logger.info(f"Epoch {self.epoch} summary:")
+        logger.info("Performance Parameters:")
+        logger.info(prefix + "training steps: {}".format(train_logs["train_steps"]))
+        logger.info(prefix + "validation steps: {}".format(valid_logs["base"].get("validation steps", 0)))
+        for key, val in timing_logs.items():
+            logger.info(prefix + key + ": {:.2f}".format(val))
+
+        print_list = ["training loss", "validation loss", "validation L1"] + list(valid_logs["metrics"].keys())
+        max_len = max(len(x) for x in print_list)
+        logger.info("Metrics:")
+        logger.info(prefix + "training loss: {}{}".format(" " * (max_len - 13), train_logs["loss"]))
+        if "validation loss" in valid_logs["base"]:
+            logger.info(prefix + "validation loss: {}{}".format(" " * (max_len - 15), valid_logs["base"]["validation loss"]))
+            logger.info(prefix + "validation L1: {}{}".format(" " * (max_len - 13), valid_logs["base"]["validation L1"]))
+        for key in valid_logs["metrics"]:
+            value = valid_logs["metrics"][key]
+            if np.isscalar(value):
+                logger.info(f"{prefix}{key}: {' ' * (max_len - len(key))}{value}")
+        logger.info(separator)
+
+    def save_checkpoint(self, checkpoint_path, checkpoint_mode=None):
+        counters = {"iters": self.iters, "epoch": self.epoch,
+                    "scheduler_epoch": self.scheduler.epoch}
+        ckpt_lib.save_checkpoint(checkpoint_path, self.model_params,
+                                 self.opt_state, counters)
+
+    def restore_checkpoint(self, checkpoint_path, load_optimizer=None, load_counters=None):
+        load_optimizer = self.params.get("load_optimizer", True) if load_optimizer is None else load_optimizer
+        load_counters = self.params.get("load_counters", True) if load_counters is None else load_counters
+
+        params, opt_state, counters = ckpt_lib.restore_checkpoint(
+            checkpoint_path, self.model_params,
+            self.opt_state if load_optimizer else None)
+        self.model_params = params
+        if load_optimizer and opt_state is not None:
+            self.opt_state = opt_state
+        if load_counters and counters:
+            self.iters = counters.get("iters", 0)
+            self.epoch = counters.get("epoch", 0)
+            self.startEpoch = self.epoch
+            self.scheduler.epoch = counters.get("scheduler_epoch", 0)
+
+    # ------------------------------------------------------------------
+    # debug / self-test harness
+
+    def test_autoregression_pipeline(self):
+        """DebugNet pipeline self-test (ref: trainer.py:1113-1220): runs the
+        eval forward (exercising the preprocessor round trip), appends the
+        *targets* into the history window, and verifies the rolled window
+        reproduces exactly the expected target slices. Returns error count."""
+        assert self.params.nettype == "DebugNet"
+        prep = self.preprocessor
+        n_hist = prep.n_history
+
+        fwd = jax.jit(lambda p, x, u: self.model.apply(
+            {"params": p}, x, unpredicted_inp=u, deterministic=True))
+
+        error_count = 0
+        total_steps = 0
+        for data in self.valid_dataloader:
+            inp, tar, zen_inp, zen_tar = self._device_batch(data)
+            inpt = prep.flatten_history(inp)
+            uinp = zen_inp
+
+            predictions = []
+            tarlist = [tar[:, i: i + 1] for i in range(tar.shape[1])]
+            for idt, targ in enumerate(tarlist):
+                total_steps += 1
+                pred = fwd(self.model_params, inpt, uinp)
+                pred = prep.remove_static_features(pred)
+                n_unpred = 0 if uinp is None else uinp.shape[2]
+                pred = prep.remove_unpredicted_features(pred, n_unpred)
+                if n_hist > 0:
+                    prede = prep.expand_history(pred, n_hist + 1)
+                    pred = prede[:, -1]
+                expected = (targ.shape[0], targ.shape[2], targ.shape[3], targ.shape[4])
+                assert pred.shape == expected, f"{pred.shape} != {expected}"
+                uinp = prep.advance_unpredicted(uinp, zen_tar, idt)
+                inpt = prep.append_history(inpt, prep.flatten_history(targ))
+                predictions.append(np.asarray(inpt))
+
+            # verify the rolled history windows against target slices
+            for idp, predt in enumerate(predictions):
+                predte = predt.reshape(predt.shape[0], n_hist + 1, -1, *predt.shape[-2:])
+                predsteps = [predte[:, i] for i in range(n_hist + 1)]
+                pred_last = min(n_hist + 1, idp + 1)
+                pred_comp = predsteps[-pred_last:]
+                targ_offset = max(0, idp - n_hist)
+                targ_comp = tarlist[targ_offset: targ_offset + pred_last]
+                for pc, tc in zip(pred_comp, targ_comp):
+                    tc = np.asarray(tc)[:, 0]
+                    if not np.allclose(pc, tc, rtol=1e-5, atol=1e-8):
+                        error_count += 1
+
+        if self.log_to_screen:
+            logger.info(f"Test done ({total_steps} steps): {error_count} errors found.")
+        return error_count

@@ -1,0 +1,114 @@
+"""End-to-end trainer integration test on synthetic data, CPU
+(mirrors ref: tests/test_trainer.py:33-154)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from testutils import get_default_parameters, init_dataset
+
+
+@pytest.fixture(autouse=True)
+def serial_mesh():
+    """Run trainer unit tests on a 1-device mesh; distributed paths are
+    covered by the dedicated parallel tests."""
+    import jax
+    from makani_tpu.parallel import comm
+    comm.reset()
+    comm.init(devices=jax.devices()[:1])
+    yield
+    comm.reset()
+
+
+def _trainer_params(tmp_path, nettype="SFNO", **overrides):
+    params = get_default_parameters()
+    params.nettype = nettype
+    params.update_params({
+        "embed_dim": 16,
+        "num_layers": 2,
+        "scale_factor": 2,
+        "num_blocks": 4,
+        "hard_thresholding_fraction": 1.0,
+        "use_mlp": True,
+        "mlp_ratio": 2.0,
+        "activation_function": "gelu",
+        "pos_embed": "none",
+        "operator_type": "dhconv",
+        "filter_type": "linear",
+        "normalization_layer": "instance_norm",
+        "loss": "geometric l2",
+        "lr": 1e-4,
+        "batch_size": 2,
+        "max_epochs": 1,
+        "n_train_samples_per_epoch": 8,
+        "n_eval_samples": 4,
+        "valid_autoreg_steps": 2,
+        "scheduler": "CosineAnnealingLR",
+        "scheduler_T_max": 10,
+        "optimizer_type": "AdamW",
+        "print_timings_frequency": -1,
+        "save_checkpoint": "none",
+    })
+    params = init_dataset(str(tmp_path), params, n_samples_per_year=10, n_years=1)
+    params["experiment_dir"] = str(tmp_path / "exp")
+    params["checkpoint_path"] = str(tmp_path / "exp" / "ckpt")
+    params["best_checkpoint_path"] = str(tmp_path / "exp" / "best_ckpt")
+    params.update_params(overrides)
+    return params
+
+
+def test_trainer_end_to_end(tmp_path):
+    from makani_tpu.utils.trainer import Trainer
+
+    params = _trainer_params(tmp_path)
+    trainer = Trainer(params, world_rank=0)
+    trainer.train()
+
+    # training ran and produced finite losses + metrics
+    assert trainer.iters > 0
+    assert np.isfinite(trainer.metrics.logs["base"]["validation loss"])
+    assert np.isfinite(trainer.metrics.logs["base"]["validation L1"])
+
+
+def test_trainer_checkpoint_roundtrip(tmp_path):
+    import jax
+    from makani_tpu.utils.trainer import Trainer
+
+    params = _trainer_params(tmp_path, save_checkpoint="flexible")
+    trainer = Trainer(params, world_rank=0)
+    trainer.train()
+
+    ckpt = params["checkpoint_path"]
+    assert os.path.isdir(ckpt)
+
+    # fresh trainer restores the checkpoint
+    params2 = _trainer_params(tmp_path, save_checkpoint="flexible")
+    params2["resuming"] = True
+    trainer2 = Trainer(params2, world_rank=0)
+    assert trainer2.epoch == trainer.epoch
+    for a, b in zip(jax.tree.leaves(trainer.model_params), jax.tree.leaves(trainer2.model_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_autoregression_pipeline(tmp_path):
+    """DebugNet identity AR plumbing self-test (ref: trainer.py:1113-1220)."""
+    from makani_tpu.utils.trainer import Trainer
+
+    params = _trainer_params(tmp_path, nettype="DebugNet")
+    params["valid_autoreg_steps"] = 3
+    trainer = Trainer(params, world_rank=0)
+    errors = trainer.test_autoregression_pipeline()
+    assert errors == 0
+
+
+def test_autoregression_pipeline_with_history_and_zenith(tmp_path):
+    from makani_tpu.utils.trainer import Trainer
+
+    params = _trainer_params(tmp_path, nettype="DebugNet")
+    params["n_history"] = 1
+    params["add_zenith"] = True
+    params["valid_autoreg_steps"] = 3
+    trainer = Trainer(params, world_rank=0)
+    errors = trainer.test_autoregression_pipeline()
+    assert errors == 0

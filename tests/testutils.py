@@ -98,6 +98,8 @@ def init_dataset(path, params, n_samples_per_year=20, n_years=2, start_year=2017
         for y in range(n_years):
             year = start_year + i * n_years + y
             fname = os.path.join(d, f"{year}.h5")
+            if os.path.exists(fname):
+                continue  # idempotent: keep files another dataset may hold open
             data = rng.randn(n_samples_per_year, n_channels, *img_shape).astype(np.float32)
             with h5py.File(fname, "w") as f:
                 f.create_dataset(params.h5_path, data=data)
