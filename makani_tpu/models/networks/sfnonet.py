@@ -253,8 +253,15 @@ class SphericalFourierNeuralOperatorNet(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
+        from makani_tpu.parallel import spmd
+
         trans_down, itrans_up, trans, itrans = self._transforms()
         act = get_activation(self.activation_function)
+
+        # pin the canonical activation layout: batch over data, lat/lon over
+        # the spatial mesh axes (2D domain decomposition, ref: SURVEY §5.7)
+        if spmd.model_distributed():
+            x = spmd.constrain(x, "data", None, "h", "w")
 
         if self.big_skip:
             if self.out_shape != self.inp_shape:

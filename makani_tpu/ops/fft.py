@@ -9,6 +9,7 @@ the first mmax along lon; the inverse zero-pads the mid-spectrum.
 
 import math
 
+import jax
 import jax.numpy as jnp
 
 
@@ -25,7 +26,30 @@ class RealFFT2:
         self.lmax_low = math.floor(self.lmax / 2)
 
     def __call__(self, x):
+        from makani_tpu.parallel import spmd
+
         x = x.astype(jnp.float32)
+        if spmd.spatial_distributed() and x.ndim == 4:
+            # distributed path: truncated 1D DFT matmuls with channel<->space
+            # transposes (ref: mpu/layers.py:38-102; collectives via the SPMD
+            # partitioner, DFTs on the MXU)
+            from makani_tpu.ops.dft import rdft_matrices, dft_matrices
+
+            x = spmd.constrain(x, "data", ("fin", "w"), "h", None)
+            C, S = rdft_matrices(self.nlon, self.mmax, scale="ortho")
+            yre = jnp.einsum("...j,jm->...m", x, C)
+            yim = -jnp.einsum("...j,jm->...m", x, S)
+            yre = spmd.constrain(yre, "data", ("fin", "h"), None, "w")
+            yim = spmd.constrain(yim, "data", ("fin", "h"), None, "w")
+            # lat-axis complex DFT directly onto the kept two-sided rows
+            rows = tuple(range(self.lmax_high)) + tuple(range(self.nlat - self.lmax_low, self.nlat))
+            Ck, Sk = dft_matrices(self.nlat, rows=rows, sign=-1, scale="ortho")
+            ore = (jnp.einsum("...km,kl->...lm", yre, Ck)
+                   - jnp.einsum("...km,kl->...lm", yim, Sk))
+            oim = (jnp.einsum("...km,kl->...lm", yim, Ck)
+                   + jnp.einsum("...km,kl->...lm", yre, Sk))
+            y = jax.lax.complex(ore, oim)
+            return spmd.constrain(y, "data", "fin", "h", "w")
         y = jnp.fft.rfft2(x, s=(self.nlat, self.nlon), axes=(-2, -1), norm="ortho")
         if self.truncate:
             y = jnp.concatenate(
@@ -48,8 +72,30 @@ class InverseRealFFT2:
         self.lmax_low = math.floor(self.lmax / 2)
 
     def __call__(self, x):
+        from makani_tpu.parallel import spmd
+
         x = x.astype(jnp.complex64)
         xt = x[..., : self.mmax]
+        if spmd.spatial_distributed() and x.ndim == 4:
+            from makani_tpu.ops.dft import irdft_matrices, dft_matrices
+
+            xre = spmd.constrain(jnp.real(xt), "data", ("fin", "h"), None, "w")
+            xim = spmd.constrain(jnp.imag(xt), "data", ("fin", "h"), None, "w")
+            # inverse lat DFT: synthesize from the kept two-sided rows only
+            rows = tuple(range(self.lmax_high)) + tuple(range(self.nlat - self.lmax_low, self.nlat))
+            Ck, Sk = dft_matrices(self.nlat, rows=rows, sign=+1, scale="ortho")
+            # matrices are (k, f): out_k = sum_f X_f e^{+i 2 pi k f / n} / sqrt(n)
+            zre = (jnp.einsum("...lm,kl->...km", xre, Ck)
+                   - jnp.einsum("...lm,kl->...km", xim, Sk))
+            zim = (jnp.einsum("...lm,kl->...km", xim, Ck)
+                   + jnp.einsum("...lm,kl->...km", xre, Sk))
+            zre = spmd.constrain(zre, "data", ("fin", "w"), "h", None)
+            zim = spmd.constrain(zim, "data", ("fin", "w"), "h", None)
+            Cs, Ss = irdft_matrices(self.nlon, self.mmax, scale="ortho")
+            out = (jnp.einsum("...m,mj->...j", zre, Cs)
+                   - jnp.einsum("...m,mj->...j", zim, Ss))
+            return spmd.constrain(out, "data", "fin", "h", "w")
+
         if self.truncate:
             xth = xt[..., : self.lmax_high, :]
             xtl = xt[..., -self.lmax_low :, :]

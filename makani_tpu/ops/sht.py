@@ -55,8 +55,30 @@ class RealSHT:
         self.weights = np.asarray(pct * wq[None, None, :], dtype=np.float32)
 
     def __call__(self, x):
+        from makani_tpu.parallel import spmd
+        from makani_tpu.ops.dft import rdft_matrices
+
         x = x.astype(jnp.float32)
-        # longitudinal integral: 2*pi/nlon * DFT
+        if spmd.spatial_distributed() and x.ndim == 4:
+            # distributed path: the reference's transpose->FFT->transpose->
+            # Legendre algorithm (ref: mpu/layers.py:38-102); collectives are
+            # inserted by the SPMD partitioner at the constraints, and the
+            # truncated lon-DFT runs as an MXU matmul in real pairs.
+            x = spmd.constrain(x, "data", ("fin", "w"), "h", None)
+            C, S = rdft_matrices(self.nlon, self.mmax, scale="integral")
+            re = jnp.einsum("...j,jm->...m", x, C, precision=_PRECISION)
+            im = -jnp.einsum("...j,jm->...m", x, S, precision=_PRECISION)
+            # polar transpose: lat local for the Legendre contraction
+            re = spmd.constrain(re, "data", ("fin", "h"), None, "w")
+            im = spmd.constrain(im, "data", ("fin", "h"), None, "w")
+            w = self.weights
+            ore = jnp.einsum("...km,mlk->...lm", re, w, precision=_PRECISION)
+            oim = jnp.einsum("...km,mlk->...lm", im, w, precision=_PRECISION)
+            out = jax.lax.complex(ore, oim)
+            # final layout: l sharded over h, m sharded over w
+            return spmd.constrain(out, "data", "fin", "h", "w")
+
+        # serial path: longitudinal integral 2*pi/nlon * DFT via FFT
         xf = 2.0 * jnp.pi * jnp.fft.rfft(x, axis=-1, norm="forward")
         xf = xf[..., : self.mmax]
         # per-m Legendre matmul over latitude; real weights x complex field
@@ -81,11 +103,27 @@ class InverseRealSHT:
         self.pct = np.asarray(pct, dtype=np.float32)
 
     def __call__(self, x):
+        from makani_tpu.parallel import spmd
+        from makani_tpu.ops.dft import irdft_matrices
+
         x = x.astype(jnp.complex64)
+        if spmd.spatial_distributed() and x.ndim == 4:
+            # l local for the synthesis contraction, channels over h
+            xre = spmd.constrain(jnp.real(x), "data", ("fin", "h"), None, "w")
+            xim = spmd.constrain(jnp.imag(x), "data", ("fin", "h"), None, "w")
+            re = jnp.einsum("...lm,mlk->...km", xre, self.pct, precision=_PRECISION)
+            im = jnp.einsum("...lm,mlk->...km", xim, self.pct, precision=_PRECISION)
+            # m local for the inverse lon transform, lat over h, channels over w
+            re = spmd.constrain(re, "data", ("fin", "w"), "h", None)
+            im = spmd.constrain(im, "data", ("fin", "w"), "h", None)
+            Cs, Ss = irdft_matrices(self.nlon, self.mmax, scale="synthesis")
+            out = (jnp.einsum("...m,mj->...j", re, Cs, precision=_PRECISION)
+                   - jnp.einsum("...m,mj->...j", im, Ss, precision=_PRECISION))
+            return spmd.constrain(out, "data", "fin", "h", "w")
+
         # synthesis over l: (..., lmax, mmax) -> (..., nlat, mmax)
         re = jnp.einsum("...lm,mlk->...km", jnp.real(x), self.pct, precision=_PRECISION)
         im = jnp.einsum("...lm,mlk->...km", jnp.imag(x), self.pct, precision=_PRECISION)
         xs = jax.lax.complex(re, im)
         # irfft sums the +/-m pairs (Hermitian symmetry); zero-pads m -> nlon//2+1
-        out = jnp.fft.irfft(xs, n=self.nlon, axis=-1, norm="forward")
-        return out
+        return jnp.fft.irfft(xs, n=self.nlon, axis=-1, norm="forward")

@@ -1,0 +1,132 @@
+"""Distributed-vs-serial allclose tests on a virtual 8-device CPU mesh.
+
+The TPU-world analog of the reference's torchrun GRID_H x GRID_W tests
+(ref: tests/distributed/tests_fft.py:53-134): run the same transform/model
+serially and on a (data x h x w) mesh with sharded inputs, compare outputs.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from makani_tpu.parallel import comm
+from makani_tpu.ops import RealSHT, InverseRealSHT, RealFFT2, InverseRealFFT2
+
+
+@pytest.fixture
+def spatial_mesh():
+    comm.reset()
+    comm.init(model_parallel_sizes=[2, 2, 1, 1], devices=jax.devices()[:8])
+    yield comm.get_mesh()
+    comm.reset()
+
+
+def _sharded(mesh, x):
+    """Inputs enter sharded on batch only; spatial sharding is established by
+    the in-graph constraints (uneven lat/lon sizes are padded by XLA there,
+    while explicit input shardings require divisibility)."""
+    return jax.device_put(x, NamedSharding(mesh, P("data")))
+
+
+@pytest.mark.parametrize("nlat,nlon", [(32, 64), (33, 64)])
+def test_distributed_sht_matches_serial(spatial_mesh, nlat, nlon):
+    mesh = spatial_mesh
+    grid = "legendre-gauss" if nlat % 2 == 0 else "equiangular"
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 3, nlat, nlon).astype(np.float32)
+
+    # serial reference (computed with no mesh active)
+    comm.reset()
+    sht = RealSHT(nlat, nlon, grid=grid)
+    isht = InverseRealSHT(nlat, nlon, grid=grid)
+    y_serial = np.asarray(jax.jit(lambda v: sht(v))(jnp.asarray(x)))
+    r_serial = np.asarray(jax.jit(lambda v: isht(sht(v)))(jnp.asarray(x)))
+
+    # distributed
+    comm.init(model_parallel_sizes=[2, 2, 1, 1], devices=jax.devices()[:8])
+    xd = _sharded(mesh, x)
+    y_dist = np.asarray(jax.jit(lambda v: sht(v))(xd))
+    r_dist = np.asarray(jax.jit(lambda v: isht(sht(v)))(xd))
+
+    np.testing.assert_allclose(y_dist, y_serial, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(r_dist, r_serial, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("lmax,mmax", [(32, 33), (16, 17)])
+def test_distributed_fft2_matches_serial(spatial_mesh, lmax, mmax):
+    mesh = spatial_mesh
+    nlat, nlon = 32, 64
+    rng = np.random.RandomState(1)
+    x = rng.randn(2, 3, nlat, nlon).astype(np.float32)
+
+    comm.reset()
+    fft = RealFFT2(nlat, nlon, lmax=lmax, mmax=mmax)
+    ifft = InverseRealFFT2(nlat, nlon, lmax=lmax, mmax=mmax)
+    y_serial = np.asarray(jax.jit(lambda v: fft(v))(jnp.asarray(x)))
+    r_serial = np.asarray(jax.jit(lambda v: ifft(fft(v)))(jnp.asarray(x)))
+
+    comm.init(model_parallel_sizes=[2, 2, 1, 1], devices=jax.devices()[:8])
+    xd = _sharded(mesh, x)
+    y_dist = np.asarray(jax.jit(lambda v: fft(v))(xd))
+    r_dist = np.asarray(jax.jit(lambda v: ifft(fft(v)))(xd))
+
+    np.testing.assert_allclose(y_dist, y_serial, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(r_dist, r_serial, rtol=1e-5, atol=1e-5)
+
+
+def test_distributed_sfno_matches_serial(spatial_mesh):
+    """Full SFNO forward: serial vs (data=2, h=2, w=2) mesh."""
+    from makani_tpu.models.networks import SphericalFourierNeuralOperatorNet
+
+    mesh = spatial_mesh
+    model = SphericalFourierNeuralOperatorNet(
+        inp_shape=(32, 64), out_shape=(32, 64), scale_factor=2,
+        inp_chans=3, out_chans=3, embed_dim=16, num_layers=2,
+        operator_type="dhconv", normalization_layer="instance_norm",
+        use_mlp=True, mlp_ratio=2.0)
+
+    rng = np.random.RandomState(2)
+    x = rng.randn(2, 3, 32, 64).astype(np.float32)
+
+    comm.reset()
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), jnp.asarray(x))
+    y_serial = np.asarray(jax.jit(lambda v, a: model.apply(v, a))(variables, jnp.asarray(x)))
+
+    comm.init(model_parallel_sizes=[2, 2, 1, 1], devices=jax.devices()[:8])
+    xd = _sharded(mesh, x)
+    y_dist = np.asarray(jax.jit(lambda v, a: model.apply(v, a))(variables, xd))
+
+    np.testing.assert_allclose(y_dist, y_serial, rtol=2e-4, atol=2e-4)
+
+
+def test_distributed_grads_match_serial(spatial_mesh):
+    """Gradient parity: the SPMD partitioner must produce the same gradients
+    as the serial program (replaces the reference's gradient-hook tests)."""
+    from makani_tpu.models.networks import SphericalFourierNeuralOperatorNet
+
+    mesh = spatial_mesh
+    model = SphericalFourierNeuralOperatorNet(
+        inp_shape=(16, 32), out_shape=(16, 32), scale_factor=2,
+        inp_chans=2, out_chans=2, embed_dim=8, num_layers=2,
+        operator_type="dhconv", normalization_layer="instance_norm",
+        use_mlp=True)
+
+    rng = np.random.RandomState(3)
+    x = rng.randn(2, 2, 16, 32).astype(np.float32)
+
+    def loss_fn(v, a):
+        return jnp.mean(model.apply(v, a) ** 2)
+
+    comm.reset()
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), jnp.asarray(x))
+    g_serial = jax.jit(jax.grad(loss_fn))(variables, jnp.asarray(x))
+
+    comm.init(model_parallel_sizes=[2, 2, 1, 1], devices=jax.devices()[:8])
+    xd = _sharded(mesh, x)
+    g_dist = jax.jit(jax.grad(loss_fn))(variables, xd)
+
+    for a, b in zip(jax.tree.leaves(g_serial), jax.tree.leaves(g_dist)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-5)
