@@ -57,6 +57,8 @@ class SpectralFilterLayer(nn.Module):
     filter_type: str = "linear"
     operator_type: str = "diagonal"
     hidden_size_factor: float = 1.0
+    factorization: str = None
+    rank: float = 1.0
     separable: bool = False
     complex_activation: str = "real"
     spectral_layers: int = 1
@@ -77,6 +79,21 @@ class SpectralFilterLayer(nn.Module):
                 complex_activation=self.complex_activation,
                 spectral_layers=self.spectral_layers,
                 drop_rate=self.drop_rate,
+                bias=self.bias,
+                gain=self.gain,
+                name="filter",
+            )(x, deterministic=deterministic)
+        elif self.filter_type == "linear" and self.factorization is not None:
+            from makani_tpu.models.common.factorizations import FactorizedSpectralConv
+            return FactorizedSpectralConv(
+                self.forward_transform,
+                self.inverse_transform,
+                self.embed_dim,
+                self.embed_dim,
+                operator_type=self.operator_type,
+                rank=self.rank,
+                factorization=self.factorization,
+                separable=self.separable,
                 bias=self.bias,
                 gain=self.gain,
                 name="filter",
@@ -110,6 +127,8 @@ class FourierNeuralOperatorBlock(nn.Module):
     path_drop_rate: float = 0.0
     act_name: str = "gelu"
     norm_layer: str = "instance_norm"
+    factorization: str = None
+    rank: float = 1.0
     separable: bool = False
     inner_skip: str = "none"
     outer_skip: Optional[str] = "linear"
@@ -145,6 +164,8 @@ class FourierNeuralOperatorBlock(nn.Module):
             filter_type=self.filter_type,
             operator_type=self.operator_type,
             hidden_size_factor=self.mlp_ratio,
+            factorization=self.factorization,
+            rank=self.rank,
             separable=self.separable,
             complex_activation=self.complex_activation,
             spectral_layers=self.spectral_layers,
@@ -231,6 +252,8 @@ class SphericalFourierNeuralOperatorNet(nn.Module):
     max_modes: Optional[Tuple[int, int]] = None
     hard_thresholding_fraction: float = 1.0
     big_skip: bool = True
+    factorization: str = None
+    rank: float = 1.0
     separable: bool = False
     complex_activation: str = "real"
     spectral_layers: int = 3
@@ -330,6 +353,8 @@ class SphericalFourierNeuralOperatorNet(nn.Module):
                 path_drop_rate=float(dpr[i]),
                 act_name=self.activation_function,
                 norm_layer=self.normalization_layer,
+                factorization=self.factorization,
+                rank=self.rank,
                 inner_skip="none",
                 outer_skip="linear",
                 use_mlp=self.use_mlp,

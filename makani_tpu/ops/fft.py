@@ -12,6 +12,8 @@ import math
 import jax
 import jax.numpy as jnp
 
+from makani_tpu.ops.constants import device_constant
+
 
 class RealFFT2:
     def __init__(self, nlat, nlon, lmax=None, mmax=None):
@@ -36,14 +38,14 @@ class RealFFT2:
             from makani_tpu.ops.dft import rdft_matrices, dft_matrices
 
             x = spmd.constrain(x, "data", ("fin", "w"), "h", None)
-            C, S = rdft_matrices(self.nlon, self.mmax, scale="ortho")
+            C, S = map(device_constant, rdft_matrices(self.nlon, self.mmax, scale="ortho"))
             yre = jnp.einsum("...j,jm->...m", x, C)
             yim = -jnp.einsum("...j,jm->...m", x, S)
             yre = spmd.constrain(yre, "data", ("fin", "h"), None, "w")
             yim = spmd.constrain(yim, "data", ("fin", "h"), None, "w")
             # lat-axis complex DFT directly onto the kept two-sided rows
             rows = tuple(range(self.lmax_high)) + tuple(range(self.nlat - self.lmax_low, self.nlat))
-            Ck, Sk = dft_matrices(self.nlat, rows=rows, sign=-1, scale="ortho")
+            Ck, Sk = map(device_constant, dft_matrices(self.nlat, rows=rows, sign=-1, scale="ortho"))
             ore = (jnp.einsum("...km,kl->...lm", yre, Ck)
                    - jnp.einsum("...km,kl->...lm", yim, Sk))
             oim = (jnp.einsum("...km,kl->...lm", yim, Ck)
@@ -83,7 +85,7 @@ class InverseRealFFT2:
             xim = spmd.constrain(jnp.imag(xt), "data", ("fin", "h"), None, "w")
             # inverse lat DFT: synthesize from the kept two-sided rows only
             rows = tuple(range(self.lmax_high)) + tuple(range(self.nlat - self.lmax_low, self.nlat))
-            Ck, Sk = dft_matrices(self.nlat, rows=rows, sign=+1, scale="ortho")
+            Ck, Sk = map(device_constant, dft_matrices(self.nlat, rows=rows, sign=+1, scale="ortho"))
             # matrices are (k, f): out_k = sum_f X_f e^{+i 2 pi k f / n} / sqrt(n)
             zre = (jnp.einsum("...lm,kl->...km", xre, Ck)
                    - jnp.einsum("...lm,kl->...km", xim, Sk))
@@ -91,7 +93,7 @@ class InverseRealFFT2:
                    + jnp.einsum("...lm,kl->...km", xre, Sk))
             zre = spmd.constrain(zre, "data", ("fin", "w"), "h", None)
             zim = spmd.constrain(zim, "data", ("fin", "w"), "h", None)
-            Cs, Ss = irdft_matrices(self.nlon, self.mmax, scale="ortho")
+            Cs, Ss = map(device_constant, irdft_matrices(self.nlon, self.mmax, scale="ortho"))
             out = (jnp.einsum("...m,mj->...j", zre, Cs)
                    - jnp.einsum("...m,mj->...j", zim, Ss))
             return spmd.constrain(out, "data", "fin", "h", "w")

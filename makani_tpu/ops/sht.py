@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from makani_tpu.ops.quadrature import quadrature_nodes_weights
+from makani_tpu.ops.constants import device_constant
 from makani_tpu.ops.legendre import precompute_legpoly
 
 # Matmul precision for the spectral transforms. The reference force-fp32s all
@@ -65,13 +66,13 @@ class RealSHT:
             # inserted by the SPMD partitioner at the constraints, and the
             # truncated lon-DFT runs as an MXU matmul in real pairs.
             x = spmd.constrain(x, "data", ("fin", "w"), "h", None)
-            C, S = rdft_matrices(self.nlon, self.mmax, scale="integral")
+            C, S = map(device_constant, rdft_matrices(self.nlon, self.mmax, scale="integral"))
             re = jnp.einsum("...j,jm->...m", x, C, precision=_PRECISION)
             im = -jnp.einsum("...j,jm->...m", x, S, precision=_PRECISION)
             # polar transpose: lat local for the Legendre contraction
             re = spmd.constrain(re, "data", ("fin", "h"), None, "w")
             im = spmd.constrain(im, "data", ("fin", "h"), None, "w")
-            w = self.weights
+            w = device_constant(self.weights)
             ore = jnp.einsum("...km,mlk->...lm", re, w, precision=_PRECISION)
             oim = jnp.einsum("...km,mlk->...lm", im, w, precision=_PRECISION)
             out = jax.lax.complex(ore, oim)
@@ -82,7 +83,7 @@ class RealSHT:
         xf = 2.0 * jnp.pi * jnp.fft.rfft(x, axis=-1, norm="forward")
         xf = xf[..., : self.mmax]
         # per-m Legendre matmul over latitude; real weights x complex field
-        w = self.weights
+        w = device_constant(self.weights)
         re = jnp.einsum("...km,mlk->...lm", jnp.real(xf), w, precision=_PRECISION)
         im = jnp.einsum("...km,mlk->...lm", jnp.imag(xf), w, precision=_PRECISION)
         return jax.lax.complex(re, im)
@@ -111,19 +112,19 @@ class InverseRealSHT:
             # l local for the synthesis contraction, channels over h
             xre = spmd.constrain(jnp.real(x), "data", ("fin", "h"), None, "w")
             xim = spmd.constrain(jnp.imag(x), "data", ("fin", "h"), None, "w")
-            re = jnp.einsum("...lm,mlk->...km", xre, self.pct, precision=_PRECISION)
-            im = jnp.einsum("...lm,mlk->...km", xim, self.pct, precision=_PRECISION)
+            re = jnp.einsum("...lm,mlk->...km", xre, device_constant(self.pct), precision=_PRECISION)
+            im = jnp.einsum("...lm,mlk->...km", xim, device_constant(self.pct), precision=_PRECISION)
             # m local for the inverse lon transform, lat over h, channels over w
             re = spmd.constrain(re, "data", ("fin", "w"), "h", None)
             im = spmd.constrain(im, "data", ("fin", "w"), "h", None)
-            Cs, Ss = irdft_matrices(self.nlon, self.mmax, scale="synthesis")
+            Cs, Ss = map(device_constant, irdft_matrices(self.nlon, self.mmax, scale="synthesis"))
             out = (jnp.einsum("...m,mj->...j", re, Cs, precision=_PRECISION)
                    - jnp.einsum("...m,mj->...j", im, Ss, precision=_PRECISION))
             return spmd.constrain(out, "data", "fin", "h", "w")
 
         # synthesis over l: (..., lmax, mmax) -> (..., nlat, mmax)
-        re = jnp.einsum("...lm,mlk->...km", jnp.real(x), self.pct, precision=_PRECISION)
-        im = jnp.einsum("...lm,mlk->...km", jnp.imag(x), self.pct, precision=_PRECISION)
+        re = jnp.einsum("...lm,mlk->...km", jnp.real(x), device_constant(self.pct), precision=_PRECISION)
+        im = jnp.einsum("...lm,mlk->...km", jnp.imag(x), device_constant(self.pct), precision=_PRECISION)
         xs = jax.lax.complex(re, im)
         # irfft sums the +/-m pairs (Hermitian symmetry); zero-pads m -> nlon//2+1
         return jnp.fft.irfft(xs, n=self.nlon, axis=-1, norm="forward")

@@ -47,6 +47,13 @@ def init(model_parallel_sizes: List[int] = (1, 1, 1, 1),
     """
     global _MESH
 
+    # MAKANI_PLATFORM=cpu forces the host platform (some environments
+    # pre-register an accelerator backend programmatically, so the plain
+    # JAX_PLATFORMS env var is not sufficient)
+    import os
+    if os.environ.get("MAKANI_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["MAKANI_PLATFORM"])
+
     sizes = dict(zip(model_parallel_names, model_parallel_sizes))
     for ax in MODEL_AXES:
         sizes.setdefault(ax, 1)

@@ -5,14 +5,15 @@ The reference has two formats (ref: makani/utils/trainer.py:936-1098):
 be restored onto any model-parallel layout. With JAX + orbax, the flexible
 semantics come for free: checkpoints store the *global* logical arrays and
 restore re-shards onto whatever mesh/sharding the restore target uses.
+
+Layout: <path>/model, <path>/opt_state (separate orbax items so inference can
+restore the model without an optimizer template), <path>/counters.json.
 """
 
 import json
 import os
-from typing import Any, Optional
+from typing import Optional
 
-import numpy as np
-import jax
 import orbax.checkpoint as ocp
 
 
@@ -20,21 +21,22 @@ def _counters_path(path):
     return os.path.join(path, "counters.json")
 
 
+def _save_item(path, item):
+    ckptr = ocp.StandardCheckpointer()
+    if os.path.exists(path):
+        import shutil
+        shutil.rmtree(path)
+    ckptr.save(path, item)
+    ckptr.wait_until_finished()
+
+
 def save_checkpoint(path, params, opt_state=None, counters: Optional[dict] = None):
     """Save a training checkpoint (model params + optimizer state + counters)."""
     path = os.path.abspath(path)
-    ckpt = {"model": params}
+    os.makedirs(path, exist_ok=True)
+    _save_item(os.path.join(path, "model"), params)
     if opt_state is not None:
-        ckpt["opt_state"] = opt_state
-
-    ckptr = ocp.StandardCheckpointer()
-    if os.path.exists(path):
-        # orbax refuses to overwrite; emulate torch.save semantics
-        import shutil
-        shutil.rmtree(path)
-    ckptr.save(path, ckpt)
-    ckptr.wait_until_finished()
-
+        _save_item(os.path.join(path, "opt_state"), opt_state)
     if counters is not None:
         with open(_counters_path(path), "w") as f:
             json.dump(counters, f)
@@ -44,12 +46,13 @@ def restore_checkpoint(path, params_template, opt_state_template=None):
     """Restore onto the given templates (shape/dtype/sharding donors).
     Returns (params, opt_state_or_None, counters_dict)."""
     path = os.path.abspath(path)
-    item = {"model": params_template}
-    if opt_state_template is not None:
-        item["opt_state"] = opt_state_template
-
     ckptr = ocp.StandardCheckpointer()
-    restored = ckptr.restore(path, target=item)
+    params = ckptr.restore(os.path.join(path, "model"), target=params_template)
+
+    opt_state = None
+    opt_path = os.path.join(path, "opt_state")
+    if opt_state_template is not None and os.path.isdir(opt_path):
+        opt_state = ckptr.restore(opt_path, target=opt_state_template)
 
     counters = {}
     cpath = _counters_path(path)
@@ -57,8 +60,8 @@ def restore_checkpoint(path, params_template, opt_state_template=None):
         with open(cpath) as f:
             counters = json.load(f)
 
-    return restored["model"], restored.get("opt_state"), counters
+    return params, opt_state, counters
 
 
 def checkpoint_exists(path):
-    return os.path.isdir(path) and len(os.listdir(path)) > 0
+    return os.path.isdir(os.path.join(path, "model"))

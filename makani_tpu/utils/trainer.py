@@ -57,6 +57,12 @@ class Trainer:
         params = self._update_parameters(params)
         self.params = params
 
+        # save out a self-contained inference package (ref: trainer.py:401-405)
+        if (self.world_rank == 0) and params.get("experiment_dir", None) \
+                and job_type == "train":
+            from makani_tpu.models.model_package import save_model_package
+            save_model_package(params)
+
         # model
         self.model = model_registry.get_model(params)
         self.preprocessor = self.model.preprocessor
@@ -220,7 +226,28 @@ class Trainer:
                 inp = inp.astype(amp_dtype)
             return inp, tar
 
+        do_roll = bool(self.params.get("roll", False))
+        noise_std = float(self.params.get("noise_std", 0.0)) if self.params.get("add_noise", False) else 0.0
+
+        def augment(inp, tar, zen_inp, zen_tar, rng):
+            """Train-time augmentation on device: random longitude roll applied
+            consistently to inputs/targets/zenith, plus gaussian input noise
+            (ref: makani/utils/dataloaders/data_loader_dali_2d.py:300-320)."""
+            roll_rng, noise_rng = jax.random.split(rng)
+            if do_roll:
+                shift = jax.random.randint(roll_rng, (), 0, inp.shape[-1])
+                roll = lambda t: None if t is None else jnp.roll(t, shift, axis=-1)
+                inp, tar = roll(inp), roll(tar)
+                zen_inp, zen_tar = roll(zen_inp), roll(zen_tar)
+            if noise_std > 0.0:
+                inp = inp + noise_std * jax.random.normal(noise_rng, inp.shape, inp.dtype)
+            return inp, tar, zen_inp, zen_tar
+
         def train_step(model_params, opt_state, inp, tar, zen_inp, zen_tar, lr, rng):
+            aug_rng, drop_rng = jax.random.split(rng)
+            rng = drop_rng
+            if do_roll or noise_std > 0.0:
+                inp, tar, zen_inp, zen_tar = augment(inp, tar, zen_inp, zen_tar, aug_rng)
             inp = prep.flatten_history(inp)
             tar = prep.flatten_history(tar)
             inp, tar = prepare(inp, tar)
@@ -262,6 +289,14 @@ class Trainer:
 
         self.train_step = jax.jit(train_step, donate_argnums=(0, 1))
         self.eval_step = jax.jit(eval_step, donate_argnums=(1,))
+
+        def eval_forward(model_params, inp, zen_inp):
+            inpt = prep.flatten_history(inp)
+            x, _ = prepare(inpt, inpt)
+            return model.apply({"params": model_params}, x,
+                               unpredicted_inp=zen_inp, deterministic=True).astype(jnp.float32)
+
+        self.eval_forward = jax.jit(eval_forward)
 
     def _device_batch(self, data):
         """Host batch -> device arrays sharded over the data axis."""
@@ -367,13 +402,34 @@ class Trainer:
         buffers = self.metrics.initialize_buffers()
         valid_start = time.time()
 
+        visualize = bool(self.params.log_video) and (epoch % max(self.params.log_video, 1) == 0)
+
+        eval_steps = 0
         for data in self.valid_dataloader:
+            eval_steps += 1
             inp, tar, zen_inp, zen_tar = self._device_batch(data)
+            if visualize and eval_steps <= 1:
+                # render the first sample's one-step prediction vs target
+                # (ref: trainer.py:845-866)
+                from makani_tpu.utils.visualize import VisualizationWrapper
+                if not hasattr(self, "visualizer"):
+                    self.visualizer = VisualizationWrapper(
+                        self.params, num_workers=self.params.get("num_visualization_workers", 1))
+                pred = self.eval_forward(self.model_params, inp, zen_inp)
+                targ = self.preprocessor.flatten_history(tar[:, :1])
+                self.visualizer.add(f"epoch{epoch}_step{eval_steps}",
+                                    np.asarray(pred[0, :2]), np.asarray(targ[0, :2]))
             buffers = self.eval_step(self.model_params, buffers, inp, tar, zen_inp, zen_tar)
 
         logs = self.metrics.finalize(buffers)
+
+        viz_time = time.perf_counter()
+        if visualize and hasattr(self, "visualizer"):
+            self.visualizer.finalize()
+        viz_time = time.perf_counter() - viz_time
+
         valid_time = time.time() - valid_start
-        return valid_time, 0.0, logs
+        return valid_time, viz_time, logs
 
     # ------------------------------------------------------------------
     # logging / checkpointing
