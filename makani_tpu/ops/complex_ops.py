@@ -11,7 +11,19 @@ path.
 import jax
 import jax.numpy as jnp
 
-_PRECISION = jax.lax.Precision.HIGHEST
+# HIGH = 3-pass bf16 decomposition, the TPU equivalent of the TF32 matmuls
+# the reference uses for its fp32 spectral contractions (allow_tf32,
+# ref: makani/train.py:109-110)
+_PRECISION = jax.lax.Precision.HIGH
+
+
+def set_contraction_precision(name: str):
+    global _PRECISION
+    _PRECISION = {
+        "default": jax.lax.Precision.DEFAULT,
+        "high": jax.lax.Precision.HIGH,
+        "highest": jax.lax.Precision.HIGHEST,
+    }[name]
 
 
 def view_as_complex(x):

@@ -1,18 +1,24 @@
-"""Serial real spherical harmonic transforms (analysis / synthesis).
+"""Real spherical harmonic transforms (analysis / synthesis).
 
-TPU-native formulation: longitudinal rFFT (XLA) + per-m Legendre matmul over
-latitude (MXU). The Legendre table is precomputed on host in float64 and baked
-into the jitted computation as an f32 constant.
+TPU-native formulation: the SHT is a pure MXU matmul chain — truncated
+longitudinal DFT matmul + per-m Legendre matmul over latitude. No FFT thunks:
+with hard mode truncation (mmax ~ nlon/6 for the SFNO inner grid) the direct
+DFT does less effective work on the MXU than a full FFT + truncate, avoids
+XLA's expensive non-power-of-two FFT lowering, and shards cleanly.
 
-Conventions (chosen for parity with the transforms the reference uses via
-torch-harmonics; ref: makani/models/networks/sfnonet.py:523-539):
+The same code path serves serial and spatially-decomposed execution: sharding
+constraints express the reference's channel<->space all-to-all transposes
+(ref: makani/mpu/layers.py:38-102) and no-op on a trivial mesh.
+
+Conventions (parity with the reference's torch-harmonics transforms;
+ref: makani/models/networks/sfnonet.py:523-539):
   - analysis:  c_lm = sum_k w_k P-hat_l^m(theta_k) * (2 pi / nlon) sum_j x e^{-im phi_j}
-  - synthesis: x(theta_k, phi_j) = Re-sum over m of e^{im phi} sum_l c_lm P-hat_l^m
-  - "ortho" normalization, Condon-Shortley phase, theta ordered 0..pi
+  - synthesis: x(theta_k, phi_j) = Re sum_m fac_m e^{im phi} sum_l c_lm P-hat_l^m
+  - "ortho" normalization, Condon-Shortley phase, theta in [0, pi]
     (north pole first, ERA5 ordering).
 
-Forward/inverse are exact round-trips for band-limited data on legendre-gauss
-grids (and on equiangular grids via Clenshaw-Curtis quadrature).
+Exact round-trips for band-limited data on legendre-gauss grids (equiangular
+grids via Clenshaw-Curtis quadrature alias at high l, like the reference).
 """
 
 import numpy as np
@@ -24,10 +30,27 @@ from makani_tpu.ops.constants import device_constant
 from makani_tpu.ops.legendre import precompute_legpoly
 
 # Matmul precision for the spectral transforms. The reference force-fp32s all
-# transforms under AMP (ref: makani/models/common/spectral_convolution.py:130-141);
-# on TPU, f32 MXU passes additionally need HIGHEST precision to avoid bf16
-# decomposition error in the Legendre contraction.
-_PRECISION = jax.lax.Precision.HIGHEST
+# transforms under AMP (ref: makani/models/common/spectral_convolution.py:130-141)
+# but runs those fp32 matmuls as TF32 on the MXU (allow_tf32, ref:
+# makani/train.py:109-110). The TPU equivalent of TF32 is the 3-pass bf16
+# decomposition (Precision.HIGH) — the default here. set_transform_precision
+# switches to HIGHEST (6-pass) for strict-accuracy runs or DEFAULT (1-pass)
+# for maximum throughput.
+_PRECISION = jax.lax.Precision.HIGH
+
+
+def set_transform_precision(name: str):
+    """'default' | 'high' (tf32-like) | 'highest' (full f32)."""
+    global _PRECISION
+    _PRECISION = {
+        "default": jax.lax.Precision.DEFAULT,
+        "high": jax.lax.Precision.HIGH,
+        "highest": jax.lax.Precision.HIGHEST,
+    }[name]
+
+
+def get_transform_precision():
+    return _PRECISION
 
 
 def _theta_weights(grid, nlat):
@@ -50,9 +73,8 @@ class RealSHT:
 
         tq, wq = _theta_weights(grid, nlat)
         pct = precompute_legpoly(self.mmax, self.lmax, tq, norm="ortho", csphase=csphase)
-        # fold quadrature weights into the Legendre table: (mmax, lmax, nlat).
-        # kept as a host numpy constant: transforms may be constructed inside a
-        # jit trace (lazy caches), and jnp arrays created there leak tracers.
+        # quadrature weights folded into the Legendre table: (mmax, lmax, nlat).
+        # host numpy (device_constant threads it as a runtime parameter).
         self.weights = np.asarray(pct * wq[None, None, :], dtype=np.float32)
 
     def __call__(self, x):
@@ -60,33 +82,31 @@ class RealSHT:
         from makani_tpu.ops.dft import rdft_matrices
 
         x = x.astype(jnp.float32)
-        if spmd.spatial_distributed() and x.ndim == 4:
-            # distributed path: the reference's transpose->FFT->transpose->
-            # Legendre algorithm (ref: mpu/layers.py:38-102); collectives are
-            # inserted by the SPMD partitioner at the constraints, and the
-            # truncated lon-DFT runs as an MXU matmul in real pairs.
+        dist = spmd.spatial_distributed() and x.ndim == 4
+
+        if dist:
+            # channel<->lon transpose: lon local, channels over w
             x = spmd.constrain(x, "data", ("fin", "w"), "h", None)
-            C, S = map(device_constant, rdft_matrices(self.nlon, self.mmax, scale="integral"))
-            re = jnp.einsum("...j,jm->...m", x, C, precision=_PRECISION)
-            im = -jnp.einsum("...j,jm->...m", x, S, precision=_PRECISION)
+
+        # longitudinal integral as a truncated DFT matmul (real pairs)
+        C, S = map(device_constant, rdft_matrices(self.nlon, self.mmax, scale="integral"))
+        re = jnp.einsum("...j,jm->...m", x, C, precision=_PRECISION)
+        im = -jnp.einsum("...j,jm->...m", x, S, precision=_PRECISION)
+
+        if dist:
             # polar transpose: lat local for the Legendre contraction
             re = spmd.constrain(re, "data", ("fin", "h"), None, "w")
             im = spmd.constrain(im, "data", ("fin", "h"), None, "w")
-            w = device_constant(self.weights)
-            ore = jnp.einsum("...km,mlk->...lm", re, w, precision=_PRECISION)
-            oim = jnp.einsum("...km,mlk->...lm", im, w, precision=_PRECISION)
-            out = jax.lax.complex(ore, oim)
-            # final layout: l sharded over h, m sharded over w
-            return spmd.constrain(out, "data", "fin", "h", "w")
 
-        # serial path: longitudinal integral 2*pi/nlon * DFT via FFT
-        xf = 2.0 * jnp.pi * jnp.fft.rfft(x, axis=-1, norm="forward")
-        xf = xf[..., : self.mmax]
-        # per-m Legendre matmul over latitude; real weights x complex field
         w = device_constant(self.weights)
-        re = jnp.einsum("...km,mlk->...lm", jnp.real(xf), w, precision=_PRECISION)
-        im = jnp.einsum("...km,mlk->...lm", jnp.imag(xf), w, precision=_PRECISION)
-        return jax.lax.complex(re, im)
+        ore = jnp.einsum("...km,mlk->...lm", re, w, precision=_PRECISION)
+        oim = jnp.einsum("...km,mlk->...lm", im, w, precision=_PRECISION)
+        out = jax.lax.complex(ore, oim)
+
+        if dist:
+            # final layout: l sharded over h, m sharded over w
+            out = spmd.constrain(out, "data", "fin", "h", "w")
+        return out
 
 
 class InverseRealSHT:
@@ -108,23 +128,28 @@ class InverseRealSHT:
         from makani_tpu.ops.dft import irdft_matrices
 
         x = x.astype(jnp.complex64)
-        if spmd.spatial_distributed() and x.ndim == 4:
+        dist = spmd.spatial_distributed() and x.ndim == 4
+
+        xre, xim = jnp.real(x), jnp.imag(x)
+        if dist:
             # l local for the synthesis contraction, channels over h
-            xre = spmd.constrain(jnp.real(x), "data", ("fin", "h"), None, "w")
-            xim = spmd.constrain(jnp.imag(x), "data", ("fin", "h"), None, "w")
-            re = jnp.einsum("...lm,mlk->...km", xre, device_constant(self.pct), precision=_PRECISION)
-            im = jnp.einsum("...lm,mlk->...km", xim, device_constant(self.pct), precision=_PRECISION)
+            xre = spmd.constrain(xre, "data", ("fin", "h"), None, "w")
+            xim = spmd.constrain(xim, "data", ("fin", "h"), None, "w")
+
+        pct = device_constant(self.pct)
+        re = jnp.einsum("...lm,mlk->...km", xre, pct, precision=_PRECISION)
+        im = jnp.einsum("...lm,mlk->...km", xim, pct, precision=_PRECISION)
+
+        if dist:
             # m local for the inverse lon transform, lat over h, channels over w
             re = spmd.constrain(re, "data", ("fin", "w"), "h", None)
             im = spmd.constrain(im, "data", ("fin", "w"), "h", None)
-            Cs, Ss = map(device_constant, irdft_matrices(self.nlon, self.mmax, scale="synthesis"))
-            out = (jnp.einsum("...m,mj->...j", re, Cs, precision=_PRECISION)
-                   - jnp.einsum("...m,mj->...j", im, Ss, precision=_PRECISION))
-            return spmd.constrain(out, "data", "fin", "h", "w")
 
-        # synthesis over l: (..., lmax, mmax) -> (..., nlat, mmax)
-        re = jnp.einsum("...lm,mlk->...km", jnp.real(x), device_constant(self.pct), precision=_PRECISION)
-        im = jnp.einsum("...lm,mlk->...km", jnp.imag(x), device_constant(self.pct), precision=_PRECISION)
-        xs = jax.lax.complex(re, im)
-        # irfft sums the +/-m pairs (Hermitian symmetry); zero-pads m -> nlon//2+1
-        return jnp.fft.irfft(xs, n=self.nlon, axis=-1, norm="forward")
+        # real synthesis matmul sums the +/-m conjugate pairs
+        Cs, Ss = map(device_constant, irdft_matrices(self.nlon, self.mmax, scale="synthesis"))
+        out = (jnp.einsum("...m,mj->...j", re, Cs, precision=_PRECISION)
+               - jnp.einsum("...m,mj->...j", im, Ss, precision=_PRECISION))
+
+        if dist:
+            out = spmd.constrain(out, "data", "fin", "h", "w")
+        return out

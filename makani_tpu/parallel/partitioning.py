@@ -1,0 +1,95 @@
+"""Parameter partitioning rules for tensor (channel) parallelism.
+
+The reference annotates every parameter with `is_shared_mp` / `sharded_dims_mp`
+(ref: SURVEY §2.3 protocol; e.g. dhconv weights sharded over "h" at
+makani/models/common/spectral_convolution.py:104-112, DistributedMLP weights
+split over fin/fout at makani/mpu/layers.py:222-401). Here the same protocol
+is expressed as path-pattern -> PartitionSpec rules applied to the flax param
+tree; jit in/out shardings do the rest (GSPMD inserts the reduce/gather
+collectives that the reference implements as autograd ops).
+"""
+
+import re
+from typing import Optional
+
+import jax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from makani_tpu.parallel import comm
+
+
+# (pattern, spec-for-matching-param). Patterns match the "/"-joined param path.
+# Specs follow the reference's fin/fout ping-pong: embed activations live on
+# "fin", MLP/encoder hidden layers on "fout"; spectral weights are sharded
+# over the spatial axes of their mode dims ("h" for l, "w" for m).
+_RULES = [
+    # block MLP / encoder-decoder hidden layers: out-dim fout, in-dim fin
+    (r".*(mlp|encoder|decoder)/(fc1|fwd_\d+)/weight$", lambda s: P("fout", "fin")),
+    (r".*(mlp|encoder|decoder)/(fc1|fwd_\d+)/bias$", lambda s: P("fout")),
+    (r".*(mlp|encoder|decoder)/(fc2|out)/weight$", lambda s: P("fin", "fout")),
+    (r".*(mlp|encoder|decoder)/(fc2|out)/bias$", lambda s: P("fin")),
+    # spectral conv weights: (i, o, l[, m], 2) - l over h, m over w
+    (r".*filter/weight$", lambda s: P(None, None, "h", "w", None) if len(s) == 5
+     else P(None, None, "h", None)),
+    # 1x1 skips: out over fin (keeps embed layout), in replicated
+    (r".*(inner_skip|outer_skip)/weight$", lambda s: P("fin", None)),
+    # direct position embedding: spatial dims over h/w
+    (r".*pos_embed$", lambda s: P(None, None, "h", "w")),
+    (r".*pos_embed_[rc]$", lambda s: P(None, None, "h", "w")),
+]
+
+
+def spec_for_path(path: str, shape) -> P:
+    for pattern, fn in _RULES:
+        if re.match(pattern, path):
+            spec = fn(tuple(shape))
+            # drop axes that exceed the tensor rank
+            if len(spec) > len(shape):
+                spec = P(*spec[: len(shape)])
+            return spec
+    return P()
+
+
+def _flatten_with_paths(tree):
+    flat, treedef = jax.tree_util.tree_flatten_with_path(tree)
+    paths = ["/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in kp)
+             for kp, _ in flat]
+    leaves = [v for _, v in flat]
+    return paths, leaves, treedef
+
+
+def get_param_specs(params):
+    """Param tree -> PartitionSpec tree (same structure)."""
+    paths, leaves, treedef = _flatten_with_paths(params)
+    specs = [spec_for_path(p, l.shape) for p, l in zip(paths, leaves)]
+    return jax.tree_util.tree_unflatten(treedef, specs)
+
+
+def get_param_shardings(params, mesh=None):
+    mesh = mesh or comm.get_mesh()
+    specs = get_param_specs(params)
+    return jax.tree.map(lambda s: NamedSharding(mesh, s), specs,
+                        is_leaf=lambda x: isinstance(x, P))
+
+
+def get_opt_state_shardings(opt_state, params, mesh=None):
+    """Match optimizer-state leaves to param shardings by shape: moment
+    buffers mirror their parameter's sharding, scalars replicate."""
+    mesh = mesh or comm.get_mesh()
+    paths, leaves, _ = _flatten_with_paths(params)
+    by_shape = {}
+    for p, l in zip(paths, leaves):
+        by_shape.setdefault(tuple(l.shape), spec_for_path(p, l.shape))
+
+    opt_paths, opt_leaves, opt_treedef = _flatten_with_paths(opt_state)
+    shardings = []
+    for path, leaf in zip(opt_paths, opt_leaves):
+        shape = tuple(getattr(leaf, "shape", ()))
+        # moment trees repeat the param path suffix; reuse path rules first
+        m = re.search(r"(model/.*)$", path)
+        if m is not None and shape:
+            spec = spec_for_path(m.group(1), shape)
+        else:
+            spec = by_shape.get(shape, P()) if shape else P()
+        shardings.append(NamedSharding(mesh, spec))
+    return jax.tree_util.tree_unflatten(opt_treedef, shardings)

@@ -79,6 +79,14 @@ class Trainer:
             # fp16 maps to bf16 on TPU (native, no grad scaler needed)
             self.amp_dtype = jnp.bfloat16
 
+        # spectral matmul precision ("high" = tf32-equivalent, the reference
+        # default; "highest" for strict f32)
+        tp = params.get("transform_precision", "high")
+        from makani_tpu.ops.sht import set_transform_precision
+        from makani_tpu.ops.complex_ops import set_contraction_precision
+        set_transform_precision(tp)
+        set_contraction_precision(tp)
+
         # optimizer + scheduler
         self.optimizer = build_optimizer(params)
         self.scheduler = LRScheduler(params)
@@ -105,6 +113,17 @@ class Trainer:
         variables = jax.jit(init_fn)(key)
         self.model_params = variables["params"]
         self.opt_state = jax.jit(self.optimizer.init)(self.model_params)
+
+        # shard parameters + optimizer state over the model-parallel axes
+        # (replaces the reference's is_shared_mp/sharded_dims_mp protocol +
+        # gradient hooks, ref: makani/mpu/mappings.py:30-174)
+        if comm.get_size("model") > 1:
+            from makani_tpu.parallel.partitioning import (
+                get_opt_state_shardings, get_param_shardings)
+            pshard = get_param_shardings(self.model_params, self.mesh)
+            self.model_params = jax.device_put(self.model_params, pshard)
+            oshard = get_opt_state_shardings(self.opt_state, self.model_params, self.mesh)
+            self.opt_state = jax.device_put(self.opt_state, oshard)
         self.dropout_key = jax.random.PRNGKey(params.get("global_seed", 333) + 1)
 
         # counters

@@ -130,3 +130,33 @@ def test_distributed_grads_match_serial(spatial_mesh):
 
     for a, b in zip(jax.tree.leaves(g_serial), jax.tree.leaves(g_dist)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-5)
+
+
+def test_tensor_parallel_sfno_matches_serial():
+    """Channel (fin/fout) parallelism: params sharded per the partitioning
+    rules on a (data=2, fin=2, fout=2) mesh must reproduce serial outputs."""
+    from makani_tpu.models.networks import SphericalFourierNeuralOperatorNet
+    from makani_tpu.parallel.partitioning import get_param_shardings
+
+    model = SphericalFourierNeuralOperatorNet(
+        inp_shape=(16, 32), out_shape=(16, 32), scale_factor=2,
+        inp_chans=2, out_chans=2, embed_dim=8, num_layers=2,
+        operator_type="dhconv", normalization_layer="instance_norm",
+        use_mlp=True)
+
+    rng = np.random.RandomState(4)
+    x = rng.randn(2, 2, 16, 32).astype(np.float32)
+
+    comm.reset()
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), jnp.asarray(x))
+    y_serial = np.asarray(jax.jit(lambda v, a: model.apply(v, a))(variables, jnp.asarray(x)))
+
+    comm.init(model_parallel_sizes=[1, 1, 2, 2], devices=jax.devices()[:8])
+    mesh = comm.get_mesh()
+    shardings = get_param_shardings(variables["params"], mesh)
+    vshard = {"params": jax.device_put(variables["params"], shardings)}
+    xd = jax.device_put(x, NamedSharding(mesh, P("data")))
+    y_tp = np.asarray(jax.jit(lambda v, a: model.apply(v, a))(vshard, xd))
+    comm.reset()
+
+    np.testing.assert_allclose(y_tp, y_serial, rtol=2e-4, atol=2e-4)
