@@ -16,11 +16,51 @@ import time
 import numpy as np
 
 
+def bench_sht():
+    """SHT microbenchmark: grid-points/s of analysis+synthesis at the
+    flagship resolution (the MXU-bound Legendre+DFT matmul chain)."""
+    import jax
+    import jax.numpy as jnp
+    from makani_tpu.ops import RealSHT, InverseRealSHT
+
+    nlat = int(os.environ.get("BENCH_NLAT", 721))
+    nlon = int(os.environ.get("BENCH_NLON", 1440))
+    chans = int(os.environ.get("BENCH_CHANS", 73))
+    n_iters = int(os.environ.get("BENCH_ITERS", 20))
+    lmax = nlat // 3
+    mmax = (nlon // 3) // 2 + 1
+
+    sht = RealSHT(nlat, nlon, lmax=lmax, mmax=mmax, grid="equiangular")
+    isht = InverseRealSHT(nlat, nlon, lmax=lmax, mmax=mmax, grid="equiangular")
+
+    x = jnp.asarray(np.random.RandomState(0).randn(1, chans, nlat, nlon).astype(np.float32))
+    f = jax.jit(lambda v: isht(sht(v)))
+    f(x).block_until_ready()
+
+    t0 = time.perf_counter()
+    y = x
+    for _ in range(n_iters):
+        y = f(y)
+    y.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    gridpoints_per_sec = n_iters * chans * nlat * nlon / dt
+    print(json.dumps({
+        "metric": f"SHT roundtrip {nlat}x{nlon} lmax{lmax} x{chans}ch",
+        "value": round(gridpoints_per_sec / 1e9, 4),
+        "unit": "Ggridpoints/sec",
+        "vs_baseline": 1.0,
+    }))
+
+
 def main():
     import jax
     import jax.numpy as jnp
     import optax
     from makani_tpu.models.networks import SphericalFourierNeuralOperatorNet
+
+    if os.environ.get("BENCH_MODE", "train") == "sht":
+        return bench_sht()
 
     # allow shrinking the benchmark for debugging
     nlat = int(os.environ.get("BENCH_NLAT", 721))

@@ -101,7 +101,8 @@ class PrefetchingLoader:
 
     def __init__(self, dataset, batch_size, shuffle, num_workers=2,
                  n_samples_per_epoch=None, num_shards=1, shard_id=0,
-                 base_seed=333, drop_last=True, prefetch_depth=2):
+                 base_seed=333, drop_last=True, prefetch_depth=2,
+                 samples_offset=0):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -111,9 +112,12 @@ class PrefetchingLoader:
         self.base_seed = base_seed
         self.drop_last = drop_last
         self.prefetch_depth = prefetch_depth
+        # offset for choosing inference initial conditions
+        # (fork capability, ref: dali_es_helper_2d.py:303-307)
+        self.samples_offset = samples_offset
         self.epoch = 0
 
-        n_avail = len(dataset)
+        n_avail = len(dataset) - samples_offset
         self.n_samples_per_epoch = min(n_samples_per_epoch or n_avail, n_avail)
         n_shard = self.n_samples_per_epoch // num_shards
         self.num_batches = n_shard // batch_size if drop_last else -(-n_shard // batch_size)
@@ -127,12 +131,13 @@ class PrefetchingLoader:
         return self.num_batches
 
     def _epoch_indices(self):
-        n_avail = len(self.dataset)
+        n_avail = len(self.dataset) - self.samples_offset
         if self.shuffle:
             rng = np.random.RandomState(self.base_seed + self.epoch)
             perm = rng.permutation(n_avail)[: self.n_samples_per_epoch]
         else:
             perm = np.arange(self.n_samples_per_epoch)
+        perm = perm + self.samples_offset
         # shard: strided to balance years across ranks
         return perm[self.shard_id:: self.num_shards]
 
@@ -192,6 +197,7 @@ def get_dataloader(params, location, train=True, final_eval=False, enable_loggin
         shard_id=jax.process_index(),
         base_seed=params.get("global_seed", 333),
         drop_last=True,
+        samples_offset=0 if train else params.get("samples_offset", 0) or 0,
     )
     # expose normalization accessors like the reference loaders
     loader.get_output_normalization = dataset.get_output_normalization

@@ -75,7 +75,20 @@ def contract_diagonal(x, w):
     return _cplx_einsum("bixy,ioxy->boxy", x, w)
 
 
+# Pallas kernel toggle for the dhconv contraction (validated per-backend;
+# interpret-mode parity is pinned by tests/test_pallas_kernels.py)
+_USE_PALLAS_DHCONV = False
+
+
+def enable_pallas_kernels(flag: bool = True):
+    global _USE_PALLAS_DHCONV
+    _USE_PALLAS_DHCONV = flag
+
+
 def contract_dhconv(x, w):
+    if _USE_PALLAS_DHCONV:
+        from makani_tpu.ops.pallas_kernels import contract_dhconv_pallas
+        return contract_dhconv_pallas(x, w, False)
     return _cplx_einsum("bixy,iox->boxy", x, w)
 
 

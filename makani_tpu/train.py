@@ -33,6 +33,9 @@ def main():
     parser.add_argument("--print_timings_frequency", default=-1, type=int)
     parser.add_argument("--skip_validation", action="store_true")
     parser.add_argument("--mode", default="train", type=str, choices=["train", "test"])
+    parser.add_argument("--profile", default=0, type=int,
+                        help="Capture a jax profiler trace of the first N training steps "
+                             "(the TPU-native equivalent of train_profile.py's nsys windows)")
     parser.add_argument("--save_checkpoint", default="flexible", choices=["none", "flexible", "legacy"], type=str)
     parser.add_argument("--load_checkpoint", default="flexible", choices=["flexible", "legacy"], type=str)
     parser.add_argument("--multistep_count", default=1, type=int)
@@ -88,6 +91,7 @@ def main():
     params["print_timings_frequency"] = args.print_timings_frequency
     params["multistep_count"] = args.multistep_count
     params["n_future"] = args.multistep_count - 1
+    params["profile_steps"] = args.profile
 
     if world_rank == 0:
         logging_utils.config_logger()

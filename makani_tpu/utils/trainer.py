@@ -387,6 +387,14 @@ class Trainer:
         train_start = time.perf_counter_ns()
         loss = None
 
+        # optional profiler window over the first N steps of the first epoch
+        # (ref capability: makani/train_profile.py cudaProfilerStart/Stop windows)
+        profile_steps = int(self.params.get("profile_steps", 0) or 0)
+        profiling = profile_steps > 0 and self.epoch == 1
+        if profiling:
+            profile_dir = os.path.join(self.params.get("experiment_dir", "."), "profile")
+            jax.profiler.start_trace(profile_dir)
+
         for data in self.train_dataloader:
             train_steps += 1
             self.iters += 1
@@ -399,6 +407,13 @@ class Trainer:
             self.model_params, self.opt_state, loss = self.train_step(
                 self.model_params, self.opt_state, inp, tar, zen_inp, zen_tar, lr, rng)
 
+            if profiling and train_steps >= profile_steps:
+                jax.block_until_ready(loss)
+                jax.profiler.stop_trace()
+                profiling = False
+                if self.log_to_screen:
+                    logger.info(f"profiler trace written to {profile_dir}")
+
             freq = self.params.print_timings_frequency
             if freq > 0 and (self.iters % freq == 0) and self.log_to_screen:
                 jax.block_until_ready(loss)
@@ -408,6 +423,10 @@ class Trainer:
                     f"Average effective io rate after step {self.iters}: "
                     f"{total_data_bytes * float(comm.get_world_size()) / (float(running) * 1e-9 * 1024**3):.2f} GB/s")
                 logger.info(f"Current loss {float(loss)}")
+
+        if profiling:
+            jax.block_until_ready(loss)
+            jax.profiler.stop_trace()
 
         logs = {"loss": float(jax.device_get(loss)) if loss is not None else float("nan"),
                 "train_steps": train_steps}

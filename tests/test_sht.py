@@ -133,3 +133,26 @@ def test_fft2_roundtrip(nlat, nlon, lmax, mmax):
         xb = ifft(jnp.asarray(yb))
         y2 = np.array(fft(xb))
         np.testing.assert_allclose(y2, yb, rtol=1e-4, atol=1e-5)
+
+
+def test_fft3_roundtrip():
+    from makani_tpu.ops.fft3d import RealFFT3, InverseRealFFT3
+
+    nd, nh, nw = 8, 16, 32
+    fft = RealFFT3(nd, nh, nw)
+    ifft = InverseRealFFT3(nd, nh, nw)
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(2, 3, nd, nh, nw).astype(np.float32))
+    y = fft(x)
+    assert y.shape == (2, 3, nd, nh, nw // 2 + 1)
+    x2 = ifft(y)
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(x), rtol=1e-4, atol=1e-5)
+
+    # truncated: cross-check the slicing against an independent numpy replica
+    fft_t = RealFFT3(nd, nh, nw, ldmax=4, lhmax=8, lwmax=9)
+    y_t = np.asarray(fft_t(x))
+    ref = np.fft.rfftn(np.asarray(x), axes=(-3, -2, -1), norm="ortho")
+    ref = np.concatenate((ref[..., :2, :, :], ref[..., -2:, :, :]), axis=-3)
+    ref = np.concatenate((ref[..., :4, :], ref[..., -4:, :]), axis=-2)
+    ref = ref[..., :9]
+    np.testing.assert_allclose(y_t, ref, rtol=1e-4, atol=1e-5)
