@@ -57,6 +57,22 @@ class Trainer:
         params = self._update_parameters(params)
         self.params = params
 
+        # experiment logging (wandb when available, JSONL fallback;
+        # ref: trainer.py:328-373)
+        self.wandb = None
+        if params.get("log_to_wandb", False):
+            from makani_tpu.utils import wandb_compat
+            self.wandb = wandb_compat
+            self.wandb.init(
+                dir=params.get("wandb_dir", None) or params.get("experiment_dir", "."),
+                config=params,
+                name=params.get("wandb_name", None),
+                group=params.get("wandb_group", None),
+                project=params.get("wandb_project", None),
+                entity=params.get("wandb_entity", None),
+                resume=params.get("resuming", False),
+            )
+
         # save out a self-contained inference package (ref: trainer.py:401-405)
         if (self.world_rank == 0) and params.get("experiment_dir", None) \
                 and job_type == "train":
@@ -474,6 +490,19 @@ class Trainer:
 
     def log_epoch(self, train_logs, valid_logs, timing_logs):
         """(ref: trainer.py:892-934)."""
+        if self.wandb is not None:
+            self.wandb.log({"training loss": train_logs["loss"],
+                            "learning rate": self.scheduler(self.iters),
+                            **timing_logs}, step=self.epoch)
+            self.wandb.log(valid_logs["base"], step=self.epoch)
+            metrics = dict(valid_logs["metrics"])
+            rollouts = metrics.pop("rollouts", None)
+            if rollouts is not None:
+                from makani_tpu.utils.wandb_compat import Table
+                metrics["rollouts"] = Table(
+                    data=rollouts, columns=["metric type", "variable name", "time [h]", "value"])
+            self.wandb.log(metrics, step=self.epoch)
+
         if not self.log_to_screen:
             return
         separator = "-" * 50

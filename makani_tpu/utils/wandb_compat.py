@@ -1,0 +1,116 @@
+"""wandb-compatible experiment logger.
+
+The reference logs epochs/metrics/rollout tables to Weights & Biases
+(ref: makani/utils/trainer.py:328-373,927-932). The wandb client is not
+available in every deployment, so this module provides the same call surface
+(init/log/Table/finish, run-id resume semantics) backed by JSON-lines files
+in the experiment dir; when the real wandb package is importable it is used
+transparently.
+"""
+
+import json
+import os
+import time
+import uuid
+
+try:
+    import wandb as _real_wandb
+except ImportError:
+    _real_wandb = None
+
+
+class Table:
+    def __init__(self, data=None, columns=None):
+        self.data = data or []
+        self.columns = columns or []
+
+    def to_json(self):
+        return {"_type": "table", "columns": self.columns, "data": self.data}
+
+
+class _Run:
+    def __init__(self, dir, name, id):
+        self.dir = dir
+        self.name = name
+        self.id = id
+
+
+class _FileBackend:
+    def __init__(self):
+        self.run = None
+        self._fh = None
+        self._step = 0
+
+    def init(self, dir=".", config=None, name=None, group=None, project=None,
+             entity=None, resume=False, id=None, **kwargs):
+        os.makedirs(dir, exist_ok=True)
+        run_id_path = os.path.join(dir, "wandb_run_id.txt")
+        if resume and os.path.exists(run_id_path):
+            with open(run_id_path) as f:
+                run_id = f.read().strip()
+        else:
+            run_id = id or uuid.uuid4().hex[:8]
+            with open(run_id_path, "w") as f:
+                f.write(run_id)
+
+        self.run = _Run(dir, name or run_id, run_id)
+        mode = "a" if resume else "w"
+        self._fh = open(os.path.join(dir, "wandb_log.jsonl"), mode)
+        header = {"event": "init", "time": time.time(), "name": name,
+                  "group": group, "project": project, "run_id": run_id}
+        if config is not None:
+            try:
+                header["config"] = {k: str(v) for k, v in dict(config.to_dict() if hasattr(config, "to_dict") else config).items()}
+            except Exception:
+                pass
+        self._fh.write(json.dumps(header) + "\n")
+        self._fh.flush()
+        return self.run
+
+    def log(self, data, step=None, **kwargs):
+        if self._fh is None:
+            return
+        payload = {}
+        for k, v in data.items():
+            if isinstance(v, Table):
+                payload[k] = v.to_json()
+            elif hasattr(v, "item"):
+                payload[k] = float(v)
+            else:
+                try:
+                    json.dumps(v)
+                    payload[k] = v
+                except TypeError:
+                    payload[k] = str(v)
+        self._fh.write(json.dumps({"event": "log", "step": step if step is not None else self._step,
+                                   "time": time.time(), "data": payload}) + "\n")
+        self._fh.flush()
+        self._step += 1
+
+    def watch(self, *args, **kwargs):
+        pass
+
+    def login(self, *args, **kwargs):
+        pass
+
+    def finish(self):
+        if self._fh is not None:
+            self._fh.write(json.dumps({"event": "finish", "time": time.time()}) + "\n")
+            self._fh.close()
+            self._fh = None
+
+
+if _real_wandb is not None:
+    init = _real_wandb.init
+    log = _real_wandb.log
+    watch = _real_wandb.watch
+    login = _real_wandb.login
+    finish = _real_wandb.finish
+    Table = _real_wandb.Table  # noqa: F811
+else:
+    _backend = _FileBackend()
+    init = _backend.init
+    log = _backend.log
+    watch = _backend.watch
+    login = _backend.login
+    finish = _backend.finish
