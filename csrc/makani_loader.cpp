@@ -1,0 +1,181 @@
+// Native data-loader core: multithreaded pread of raw binary shards.
+//
+// The reference's data plane is NVIDIA DALI (GPU pipeline with spawned
+// worker processes, pinned double buffers, optional O_DIRECT; ref:
+// makani/utils/dataloaders/data_loader_dali_2d.py, dali_es_helper_2d.py).
+// The TPU-native analog is a host-side native reader: yearly raw float32
+// shards (T, C, H, W) read with positioned preads across a thread pool,
+// optionally O_DIRECT with aligned buffers, filling caller-provided batch
+// buffers that feed jax.device_put.
+//
+// Exposed as a small C API consumed via ctypes (no pybind11 dependency).
+
+#include <cerrno>
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <fcntl.h>
+#include <unistd.h>
+
+#include <atomic>
+#include <condition_variable>
+#include <functional>
+#include <mutex>
+#include <queue>
+#include <string>
+#include <thread>
+#include <vector>
+
+namespace {
+
+struct ThreadPool {
+  explicit ThreadPool(int n_threads) : stop_(false) {
+    for (int i = 0; i < n_threads; ++i) {
+      workers_.emplace_back([this] {
+        for (;;) {
+          std::function<void()> task;
+          {
+            std::unique_lock<std::mutex> lock(mu_);
+            cv_.wait(lock, [this] { return stop_ || !tasks_.empty(); });
+            if (stop_ && tasks_.empty()) return;
+            task = std::move(tasks_.front());
+            tasks_.pop();
+          }
+          task();
+        }
+      });
+    }
+  }
+
+  ~ThreadPool() {
+    {
+      std::unique_lock<std::mutex> lock(mu_);
+      stop_ = true;
+    }
+    cv_.notify_all();
+    for (auto& w : workers_) w.join();
+  }
+
+  void submit(std::function<void()> f) {
+    {
+      std::unique_lock<std::mutex> lock(mu_);
+      tasks_.push(std::move(f));
+    }
+    cv_.notify_one();
+  }
+
+ private:
+  std::vector<std::thread> workers_;
+  std::queue<std::function<void()>> tasks_;
+  std::mutex mu_;
+  std::condition_variable cv_;
+  bool stop_;
+};
+
+struct Loader {
+  std::vector<int> fds;
+  std::vector<int64_t> n_samples;     // per file
+  std::vector<int64_t> data_offsets;  // header offset per file (e.g. npy header)
+  int64_t sample_bytes;               // C*H*W*itemsize
+  ThreadPool* pool;
+  int use_odirect;
+};
+
+int64_t total_offset(const Loader* L, int file_idx, int64_t sample_idx) {
+  return L->data_offsets[file_idx] + sample_idx * L->sample_bytes;
+}
+
+// full pread loop (pread may return short reads)
+int pread_full(int fd, char* buf, int64_t count, int64_t offset) {
+  int64_t done = 0;
+  while (done < count) {
+    ssize_t r = pread(fd, buf + done, count - done, offset + done);
+    if (r < 0) {
+      if (errno == EINTR) continue;
+      return -1;
+    }
+    if (r == 0) return -1;  // unexpected EOF
+    done += r;
+  }
+  return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+// paths: array of n_files C strings; n_samples/data_offsets arrays of n_files
+void* loader_create(const char** paths, int n_files, const int64_t* n_samples,
+                    const int64_t* data_offsets, int64_t sample_bytes,
+                    int n_threads, int use_odirect) {
+  Loader* L = new Loader();
+  L->sample_bytes = sample_bytes;
+  L->use_odirect = use_odirect;
+  for (int i = 0; i < n_files; ++i) {
+    int flags = O_RDONLY;
+#ifdef O_DIRECT
+    if (use_odirect) flags |= O_DIRECT;
+#endif
+    int fd = open(paths[i], flags);
+    if (fd < 0 && use_odirect) fd = open(paths[i], O_RDONLY);  // fallback
+    if (fd < 0) {
+      for (int f : L->fds) close(f);
+      delete L;
+      return nullptr;
+    }
+    L->fds.push_back(fd);
+    L->n_samples.push_back(n_samples[i]);
+    L->data_offsets.push_back(data_offsets[i]);
+  }
+  L->pool = new ThreadPool(n_threads > 0 ? n_threads : 4);
+  return L;
+}
+
+void loader_destroy(void* handle) {
+  Loader* L = static_cast<Loader*>(handle);
+  if (!L) return;
+  delete L->pool;
+  for (int fd : L->fds) close(fd);
+  delete L;
+}
+
+// Read a batch of samples in parallel: out must hold batch*sample_bytes.
+// file_idx/sample_idx arrays of length batch. Returns 0 on success.
+int loader_read_batch(void* handle, const int* file_idx, const int64_t* sample_idx,
+                      int batch, char* out) {
+  Loader* L = static_cast<Loader*>(handle);
+  std::atomic<int> remaining(batch);
+  std::atomic<int> error(0);
+  std::mutex mu;
+  std::condition_variable cv;
+
+  for (int b = 0; b < batch; ++b) {
+    L->pool->submit([L, b, file_idx, sample_idx, out, &remaining, &error, &mu, &cv] {
+      int fi = file_idx[b];
+      int64_t off = total_offset(L, fi, sample_idx[b]);
+      if (pread_full(L->fds[fi], out + (int64_t)b * L->sample_bytes,
+                     L->sample_bytes, off) != 0) {
+        error.store(1);
+      }
+      if (remaining.fetch_sub(1) == 1) {
+        std::unique_lock<std::mutex> lock(mu);
+        cv.notify_one();
+      }
+    });
+  }
+
+  std::unique_lock<std::mutex> lock(mu);
+  cv.wait(lock, [&remaining] { return remaining.load() == 0; });
+  return error.load();
+}
+
+// Read a contiguous window of samples from one file (for history/future windows).
+int loader_read_window(void* handle, int file_idx, int64_t sample_start,
+                       int64_t n_window, char* out) {
+  Loader* L = static_cast<Loader*>(handle);
+  int64_t off = total_offset(L, file_idx, sample_start);
+  return pread_full(L->fds[file_idx], out, n_window * L->sample_bytes, off);
+}
+
+}  // extern "C"

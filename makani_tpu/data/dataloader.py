@@ -14,6 +14,7 @@ dispatcher (ref: makani/utils/dataloader.py:27-151):
 
 import concurrent.futures
 import logging
+import os
 import queue
 import threading
 
@@ -169,8 +170,17 @@ def get_dataloader(params, location, train=True, final_eval=False, enable_loggin
     """Construct (dataloader, dataset) (ref: makani/utils/dataloader.py:63-151)."""
     import jax
 
+    import glob as _glob
+
     if params.get("enable_synthetic_data", False):
         dataset = DummyDataset(params, location, train)
+    elif params.get("enable_native_loader", False) or (
+            isinstance(location, str)
+            and _glob.glob(os.path.join(location, "????.npy"))
+            and not _glob.glob(os.path.join(location, "????.h5"))):
+        # native C++ raw-shard reader (the DALI-analog data plane)
+        from makani_tpu.data.native_loader import BinaryDataset
+        dataset = BinaryDataset(params, location, train, enable_logging)
     else:
         dataset = MultifilesDataset(params, location, train, enable_logging)
 

@@ -61,6 +61,21 @@ def _theta_weights(grid, nlat):
     return tq, wq
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=None)
+def _get_pct(grid, nlat, lmax, mmax, csphase):
+    """Shared (mmax, lmax, nlat) Legendre table. With ortho normalization the
+    analysis and synthesis tables are identical (quadrature weights are
+    applied to the activations instead), so forward and inverse transforms of
+    the same grid share ONE table — halving both HBM residency and the
+    compiled program's constant payload."""
+    tq, _ = _theta_weights(grid, nlat)
+    pct = precompute_legpoly(mmax, lmax, tq, norm="ortho", csphase=csphase)
+    return np.ascontiguousarray(pct, dtype=np.float32)
+
+
 class RealSHT:
     """Analysis: real (..., nlat, nlon) -> complex (..., lmax, mmax)."""
 
@@ -71,11 +86,9 @@ class RealSHT:
         self.lmax = lmax or self.nlat
         self.mmax = mmax or self.nlon // 2 + 1
 
-        tq, wq = _theta_weights(grid, nlat)
-        pct = precompute_legpoly(self.mmax, self.lmax, tq, norm="ortho", csphase=csphase)
-        # quadrature weights folded into the Legendre table: (mmax, lmax, nlat).
-        # host numpy (device_constant threads it as a runtime parameter).
-        self.weights = np.asarray(pct * wq[None, None, :], dtype=np.float32)
+        _, wq = _theta_weights(grid, nlat)
+        self.pct = _get_pct(grid, nlat, self.lmax, self.mmax, csphase)
+        self.wq = np.asarray(wq, dtype=np.float32)
 
     def __call__(self, x):
         from makani_tpu.parallel import spmd
@@ -93,12 +106,18 @@ class RealSHT:
         re = jnp.einsum("...j,jm->...m", x, C, precision=_PRECISION)
         im = -jnp.einsum("...j,jm->...m", x, S, precision=_PRECISION)
 
+        # quadrature weights applied to the (small) spectral intermediate so
+        # the Legendre table can be shared with the inverse transform
+        wq = device_constant(self.wq)
+        re = re * wq[:, None]
+        im = im * wq[:, None]
+
         if dist:
             # polar transpose: lat local for the Legendre contraction
             re = spmd.constrain(re, "data", ("fin", "h"), None, "w")
             im = spmd.constrain(im, "data", ("fin", "h"), None, "w")
 
-        w = device_constant(self.weights)
+        w = device_constant(self.pct)
         ore = jnp.einsum("...km,mlk->...lm", re, w, precision=_PRECISION)
         oim = jnp.einsum("...km,mlk->...lm", im, w, precision=_PRECISION)
         out = jax.lax.complex(ore, oim)
@@ -119,9 +138,8 @@ class InverseRealSHT:
         self.lmax = lmax or self.nlat
         self.mmax = mmax or self.nlon // 2 + 1
 
-        tq, _ = _theta_weights(grid, nlat)
-        pct = precompute_legpoly(self.mmax, self.lmax, tq, norm="ortho", inverse=True, csphase=csphase)
-        self.pct = np.asarray(pct, dtype=np.float32)
+        # ortho normalization: the synthesis table equals the analysis table
+        self.pct = _get_pct(grid, nlat, self.lmax, self.mmax, csphase)
 
     def __call__(self, x):
         from makani_tpu.parallel import spmd
