@@ -11,6 +11,7 @@ round's value when available (BENCH_prev.json), else 1.0.
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -103,12 +104,17 @@ def main():
     y = jnp.asarray(rng.randn(batch, chans, nlat, nlon).astype(np.float32))
 
     key = jax.random.PRNGKey(0)
+    t_start = time.perf_counter()
     params, opt_state = jax.jit(init_fn)(key, x)
+    jax.block_until_ready(params)
+    print(f"# init compiled+ran in {time.perf_counter()-t_start:.1f}s", file=sys.stderr, flush=True)
     step = jax.jit(train_step, donate_argnums=(0, 1))
 
     # warmup + compile
+    t_c = time.perf_counter()
     params, opt_state, loss = step(params, opt_state, x, y)
     jax.block_until_ready(loss)
+    print(f"# train step compiled+ran in {time.perf_counter()-t_c:.1f}s", file=sys.stderr, flush=True)
 
     t0 = time.perf_counter()
     for _ in range(n_iters):

@@ -53,6 +53,27 @@ def get_transform_precision():
     return _PRECISION
 
 
+# Table source: "host" embeds f64-derived f32 tables as program constants
+# (exact, but bloats compiled programs by O(100MB) at 0.25-degree resolution
+# and slows compilation pathologically); "device" computes them in-graph via
+# the extended-range f32 recursion (~2e-4 relative error — tighter than the
+# reference's TF32 matmuls — and constant-free programs). "auto" picks
+# device off-CPU.
+_TABLE_MODE = "auto"
+
+
+def set_table_mode(mode: str):
+    global _TABLE_MODE
+    assert mode in ("auto", "host", "device")
+    _TABLE_MODE = mode
+
+
+def _use_device_tables():
+    if _TABLE_MODE == "auto":
+        return jax.default_backend() != "cpu"
+    return _TABLE_MODE == "device"
+
+
 def _theta_weights(grid, nlat):
     cost, w = quadrature_nodes_weights(grid, nlat, -1.0, 1.0)
     # theta in [0, pi], ascending (north pole first)
@@ -86,13 +107,25 @@ class RealSHT:
         self.lmax = lmax or self.nlat
         self.mmax = mmax or self.nlon // 2 + 1
 
-        _, wq = _theta_weights(grid, nlat)
-        self.pct = _get_pct(grid, nlat, self.lmax, self.mmax, csphase)
+        tq, wq = _theta_weights(grid, nlat)
+        self.tq = tuple(tq)
         self.wq = np.asarray(wq, dtype=np.float32)
+
+    def _pct_table(self):
+        if _use_device_tables():
+            from makani_tpu.ops.device_tables import legpoly_device
+            return legpoly_device(self.mmax, self.lmax, self.tq)
+        return device_constant(_get_pct(self.grid, self.nlat, self.lmax, self.mmax, True))
+
+    def _rdft_tables(self):
+        if _use_device_tables():
+            from makani_tpu.ops.device_tables import rdft_device
+            return rdft_device(self.nlon, self.mmax, scale="integral")
+        from makani_tpu.ops.dft import rdft_matrices
+        return tuple(map(device_constant, rdft_matrices(self.nlon, self.mmax, scale="integral")))
 
     def __call__(self, x):
         from makani_tpu.parallel import spmd
-        from makani_tpu.ops.dft import rdft_matrices
 
         x = x.astype(jnp.float32)
         dist = spmd.spatial_distributed() and x.ndim == 4
@@ -102,7 +135,7 @@ class RealSHT:
             x = spmd.constrain(x, "data", ("fin", "w"), "h", None)
 
         # longitudinal integral as a truncated DFT matmul (real pairs)
-        C, S = map(device_constant, rdft_matrices(self.nlon, self.mmax, scale="integral"))
+        C, S = self._rdft_tables()
         re = jnp.einsum("...j,jm->...m", x, C, precision=_PRECISION)
         im = -jnp.einsum("...j,jm->...m", x, S, precision=_PRECISION)
 
@@ -117,7 +150,7 @@ class RealSHT:
             re = spmd.constrain(re, "data", ("fin", "h"), None, "w")
             im = spmd.constrain(im, "data", ("fin", "h"), None, "w")
 
-        w = device_constant(self.pct)
+        w = self._pct_table()
         ore = jnp.einsum("...km,mlk->...lm", re, w, precision=_PRECISION)
         oim = jnp.einsum("...km,mlk->...lm", im, w, precision=_PRECISION)
         out = jax.lax.complex(ore, oim)
@@ -139,11 +172,24 @@ class InverseRealSHT:
         self.mmax = mmax or self.nlon // 2 + 1
 
         # ortho normalization: the synthesis table equals the analysis table
-        self.pct = _get_pct(grid, nlat, self.lmax, self.mmax, csphase)
+        tq, _ = _theta_weights(grid, nlat)
+        self.tq = tuple(tq)
+
+    def _pct_table(self):
+        if _use_device_tables():
+            from makani_tpu.ops.device_tables import legpoly_device
+            return legpoly_device(self.mmax, self.lmax, self.tq)
+        return device_constant(_get_pct(self.grid, self.nlat, self.lmax, self.mmax, True))
+
+    def _irdft_tables(self):
+        if _use_device_tables():
+            from makani_tpu.ops.device_tables import irdft_device
+            return irdft_device(self.nlon, self.mmax, scale="synthesis")
+        from makani_tpu.ops.dft import irdft_matrices
+        return tuple(map(device_constant, irdft_matrices(self.nlon, self.mmax, scale="synthesis")))
 
     def __call__(self, x):
         from makani_tpu.parallel import spmd
-        from makani_tpu.ops.dft import irdft_matrices
 
         x = x.astype(jnp.complex64)
         dist = spmd.spatial_distributed() and x.ndim == 4
@@ -154,7 +200,7 @@ class InverseRealSHT:
             xre = spmd.constrain(xre, "data", ("fin", "h"), None, "w")
             xim = spmd.constrain(xim, "data", ("fin", "h"), None, "w")
 
-        pct = device_constant(self.pct)
+        pct = self._pct_table()
         re = jnp.einsum("...lm,mlk->...km", xre, pct, precision=_PRECISION)
         im = jnp.einsum("...lm,mlk->...km", xim, pct, precision=_PRECISION)
 
@@ -164,7 +210,7 @@ class InverseRealSHT:
             im = spmd.constrain(im, "data", ("fin", "w"), "h", None)
 
         # real synthesis matmul sums the +/-m conjugate pairs
-        Cs, Ss = map(device_constant, irdft_matrices(self.nlon, self.mmax, scale="synthesis"))
+        Cs, Ss = self._irdft_tables()
         out = (jnp.einsum("...m,mj->...j", re, Cs, precision=_PRECISION)
                - jnp.einsum("...m,mj->...j", im, Ss, precision=_PRECISION))
 

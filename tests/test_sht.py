@@ -156,3 +156,51 @@ def test_fft3_roundtrip():
     ref = np.concatenate((ref[..., :4, :], ref[..., -4:, :]), axis=-2)
     ref = ref[..., :9]
     np.testing.assert_allclose(y_t, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_device_tables_match_host():
+    """In-graph (extended-range f32) tables vs host f64 tables."""
+    import jax
+    from makani_tpu.ops.device_tables import legpoly_device, rdft_device, irdft_device
+    from makani_tpu.ops.legendre import precompute_legpoly
+    from makani_tpu.ops.dft import rdft_matrices, irdft_matrices
+    from makani_tpu.ops.sht import _theta_weights
+
+    for (grid, nlat, lmax, mmax) in [("legendre-gauss", 32, 32, 17), ("equiangular", 181, 60, 61)]:
+        tq, _ = _theta_weights(grid, nlat)
+        host = precompute_legpoly(mmax, lmax, tq, norm="ortho", csphase=True)
+        dev = np.asarray(jax.jit(lambda tq=tq: legpoly_device(mmax, lmax, tuple(tq)))())
+        assert np.abs(dev - host).max() < 5e-4, f"{grid} {nlat}"
+
+    C, S = rdft_matrices(64, 17, "integral")
+    Cd, Sd = jax.jit(lambda: rdft_device(64, 17, "integral"))()
+    np.testing.assert_allclose(np.asarray(Cd), C, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(Sd), S, atol=1e-5)
+    Cs, Ss = irdft_matrices(64, 17, "synthesis")
+    Csd, Ssd = jax.jit(lambda: irdft_device(64, 17, "synthesis"))()
+    np.testing.assert_allclose(np.asarray(Csd), Cs, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(Ssd), Ss, atol=1e-4)
+
+
+def test_sht_roundtrip_with_device_tables():
+    """Full SHT roundtrip using the in-graph tables (as on TPU)."""
+    import jax
+    from makani_tpu.ops import sht as sht_mod
+
+    sht_mod.set_table_mode("device")
+    try:
+        nlat, nlon = 32, 64
+        sht = RealSHT(nlat, nlon, grid="legendre-gauss")
+        isht = InverseRealSHT(nlat, nlon, grid="legendre-gauss")
+        rng = np.random.RandomState(7)
+        coeffs = np.zeros((nlat, nlon // 2 + 1), dtype=np.complex64)
+        l_idx = np.arange(nlat)[:, None]
+        m_idx = np.arange(nlon // 2 + 1)[None, :]
+        mask = (l_idx >= m_idx) & (l_idx < nlat // 2)
+        coeffs[mask] = (rng.randn(mask.sum()) + 1j * rng.randn(mask.sum())).astype(np.complex64)
+        coeffs[:, 0] = coeffs[:, 0].real
+        x = jax.jit(lambda c: isht(c))(jnp.asarray(coeffs[None]))
+        c2 = np.asarray(jax.jit(lambda v: sht(v))(x))[0] * mask
+        np.testing.assert_allclose(c2, coeffs, rtol=1e-3, atol=2e-4)
+    finally:
+        sht_mod.set_table_mode("auto")
