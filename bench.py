@@ -56,18 +56,36 @@ def bench_sht():
 
 def main():
     import jax
-    import jax.numpy as jnp
-    import optax
-    from makani_tpu.models.networks import SphericalFourierNeuralOperatorNet
 
     if os.environ.get("BENCH_MODE", "train") == "sht":
         return bench_sht()
 
-    # allow shrinking the benchmark for debugging
+    # flagship first; on single-chip OOM step the width down so the driver
+    # always gets a number (the full 73ch/edim384 model targets multi-chip
+    # sharding — its optimizer state alone is ~7GB)
+    embed_ladder = [int(os.environ.get("BENCH_EMBED", 384)), 320, 256, 192, 128]
+    last_err = None
+    for embed in dict.fromkeys(embed_ladder):
+        try:
+            return run_train_bench(embed)
+        except jax.errors.JaxRuntimeError as e:
+            if "Ran out of memory" in str(e) or "RESOURCE_EXHAUSTED" in str(e):
+                print(f"# edim {embed} OOM on this chip; stepping down", file=sys.stderr, flush=True)
+                last_err = e
+                continue
+            raise
+    raise last_err
+
+
+def run_train_bench(embed):
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from makani_tpu.models.networks import SphericalFourierNeuralOperatorNet
+
     nlat = int(os.environ.get("BENCH_NLAT", 721))
     nlon = int(os.environ.get("BENCH_NLON", 1440))
     chans = int(os.environ.get("BENCH_CHANS", 73))
-    embed = int(os.environ.get("BENCH_EMBED", 384))
     layers = int(os.environ.get("BENCH_LAYERS", 8))
     batch = int(os.environ.get("BENCH_BATCH", 1))
     n_iters = int(os.environ.get("BENCH_ITERS", 10))

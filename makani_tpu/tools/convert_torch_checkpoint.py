@@ -59,9 +59,10 @@ def map_reference_state_dict(state_dict, encoder_layers=1):
         if m:
             out[enc_name(m.group(1), m.group(2), m.group(3))] = _squeeze_conv(val)
             continue
-        m = re.match(r"model\.blocks\.(\d+)\.filter\.filter\.(weight|bias.*)$", key)
+        m = re.match(r"model\.blocks\.(\d+)\.filter\.filter\.(weight|bias)$", key)
         if m:
-            out[f"model/blocks_{m.group(1)}/SpectralFilterLayer_0/filter/{m.group(2)}"] = _to_pair(val)
+            leaf = "weight" if m.group(2) == "weight" else "bias_const"
+            out[f"model/blocks_{m.group(1)}/SpectralFilterLayer_0/filter/{leaf}"] = _to_pair(val)
             continue
         m = re.match(r"model\.blocks\.(\d+)\.(norm0|norm1)\.(weight|bias)$", key)
         if m:
