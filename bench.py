@@ -24,6 +24,11 @@ def bench_sht():
     import jax.numpy as jnp
     from makani_tpu.ops import RealSHT, InverseRealSHT
 
+    tm = os.environ.get("BENCH_TABLES")
+    if tm:
+        from makani_tpu.ops.sht import set_table_mode
+        set_table_mode(tm)
+
     nlat = int(os.environ.get("BENCH_NLAT", 721))
     nlon = int(os.environ.get("BENCH_NLON", 1440))
     chans = int(os.environ.get("BENCH_CHANS", 73))
@@ -31,18 +36,41 @@ def bench_sht():
     lmax = nlat // 3
     mmax = (nlon // 3) // 2 + 1
 
-    sht = RealSHT(nlat, nlon, lmax=lmax, mmax=mmax, grid="equiangular")
-    isht = InverseRealSHT(nlat, nlon, lmax=lmax, mmax=mmax, grid="equiangular")
+    from makani_tpu.ops.device_tables import legpoly_device, rdft_device, irdft_device
+    from makani_tpu.ops.sht import _theta_weights, get_transform_precision
+
+    tq, wq_np = _theta_weights("equiangular", nlat)
+    prec = get_transform_precision()
 
     x = jnp.asarray(np.random.RandomState(0).randn(1, chans, nlat, nlon).astype(np.float32))
-    f = jax.jit(lambda v: isht(sht(v)))
-    f(x).block_until_ready()
+
+    # build tables once, loop over the pure matmul chain (what a fused
+    # training loop amortizes): DFT -> quad weights -> Legendre -> inverse
+    @jax.jit
+    def f(v):
+        pct = legpoly_device(mmax, lmax, tuple(tq))
+        C, S = rdft_device(nlon, mmax, scale="integral")
+        Cs, Ss = irdft_device(nlon, mmax, scale="synthesis")
+        wq = jnp.asarray(wq_np.astype(np.float32))
+
+        def roundtrip(i, a):
+            re = jnp.einsum("...j,jm->...m", a, C, precision=prec) * wq[:, None]
+            im = -jnp.einsum("...j,jm->...m", a, S, precision=prec) * wq[:, None]
+            cre = jnp.einsum("...km,mlk->...lm", re, pct, precision=prec)
+            cim = jnp.einsum("...km,mlk->...lm", im, pct, precision=prec)
+            zre = jnp.einsum("...lm,mlk->...km", cre, pct, precision=prec)
+            zim = jnp.einsum("...lm,mlk->...km", cim, pct, precision=prec)
+            return (jnp.einsum("...m,mj->...j", zre, Cs, precision=prec)
+                    - jnp.einsum("...m,mj->...j", zim, Ss, precision=prec))
+
+        # host-materialized scalar: block_until_ready does not truly
+        # synchronize on some remote backends
+        return jnp.sum(jax.lax.fori_loop(0, n_iters, roundtrip, v))
+
+    float(f(x))
 
     t0 = time.perf_counter()
-    y = x
-    for _ in range(n_iters):
-        y = f(y)
-    y.block_until_ready()
+    float(f(x))
     dt = time.perf_counter() - t0
 
     gridpoints_per_sec = n_iters * chans * nlat * nlon / dt
@@ -59,6 +87,11 @@ def main():
 
     if os.environ.get("BENCH_MODE", "train") == "sht":
         return bench_sht()
+
+    tm = os.environ.get("BENCH_TABLES")
+    if tm:
+        from makani_tpu.ops.sht import set_table_mode
+        set_table_mode(tm)
 
     # flagship first; on single-chip OOM step the width down so the driver
     # always gets a number (the full 73ch/edim384 model targets multi-chip
@@ -90,6 +123,7 @@ def run_train_bench(embed):
     batch = int(os.environ.get("BENCH_BATCH", 1))
     n_iters = int(os.environ.get("BENCH_ITERS", 10))
     checkpointing = int(os.environ.get("BENCH_CKPT", 2))
+    scan_layers = bool(int(os.environ.get("BENCH_SCAN", 0)))
 
     model = SphericalFourierNeuralOperatorNet(
         inp_shape=(nlat, nlon), out_shape=(nlat, nlon), scale_factor=3,
@@ -97,7 +131,7 @@ def run_train_bench(embed):
         operator_type="dhconv", normalization_layer="instance_norm",
         use_mlp=True, mlp_ratio=2.0, activation_function="gelu",
         hard_thresholding_fraction=1.0, big_skip=True,
-        checkpointing=checkpointing,
+        checkpointing=checkpointing, scan_layers=scan_layers,
     )
 
     tx = optax.chain(optax.clip_by_global_norm(32.0), optax.adam(1e-3))
@@ -128,16 +162,17 @@ def run_train_bench(embed):
     print(f"# init compiled+ran in {time.perf_counter()-t_start:.1f}s", file=sys.stderr, flush=True)
     step = jax.jit(train_step, donate_argnums=(0, 1))
 
-    # warmup + compile
+    # warmup + compile (float() materializes on host: block_until_ready
+    # does not truly synchronize on some remote backends)
     t_c = time.perf_counter()
     params, opt_state, loss = step(params, opt_state, x, y)
-    jax.block_until_ready(loss)
+    float(loss)
     print(f"# train step compiled+ran in {time.perf_counter()-t_c:.1f}s", file=sys.stderr, flush=True)
 
     t0 = time.perf_counter()
     for _ in range(n_iters):
         params, opt_state, loss = step(params, opt_state, x, y)
-    jax.block_until_ready(loss)
+    float(loss)
     dt = time.perf_counter() - t0
 
     steps_per_sec = n_iters / dt

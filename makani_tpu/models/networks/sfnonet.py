@@ -259,6 +259,7 @@ class SphericalFourierNeuralOperatorNet(nn.Module):
     spectral_layers: int = 3
     bias: bool = False
     checkpointing: int = 0
+    scan_layers: bool = False
 
     def _transforms(self):
         h = int(self.inp_shape[0] // self.scale_factor)
@@ -338,14 +339,13 @@ class SphericalFourierNeuralOperatorNet(nn.Module):
 
         dpr = np.linspace(0, self.path_drop_rate, self.num_layers)
 
-        blocks = []
-        for i in range(self.num_layers):
+        def block_cfg(i):
             first_layer = i == 0
             last_layer = i == self.num_layers - 1
-            blocks.append(FourierNeuralOperatorBlock(
-                trans_down if first_layer else trans,
-                itrans_up if last_layer else itrans,
-                self.embed_dim,
+            return dict(
+                forward_transform=trans_down if first_layer else trans,
+                inverse_transform=itrans_up if last_layer else itrans,
+                embed_dim=self.embed_dim,
                 filter_type=self.filter_type,
                 operator_type=self.operator_type,
                 mlp_ratio=self.mlp_ratio,
@@ -363,17 +363,54 @@ class SphericalFourierNeuralOperatorNet(nn.Module):
                 spectral_layers=self.spectral_layers,
                 bias=self.bias,
                 checkpointing=self.checkpointing,
-                name=f"blocks_{i}",
-            ))
+            )
 
-        # weight-tied repeats (ref: sfnonet.py:577-585)
-        for _ in range(self.repeat_layers):
-            for blk in blocks:
-                if self.checkpointing >= 3:
-                    x = nn.remat(type(blk).__call__, prevent_cse=False,
-                                 static_argnums=(2,))(blk, x, deterministic)
-                else:
-                    x = blk(x, deterministic=deterministic)
+        if self.scan_layers and self.num_layers > 2 and self.repeat_layers == 1:
+            # structural loop over the identical middle blocks: one block's
+            # program compiled once, weights stacked on a leading layer axis.
+            # Shrinks the compiled program ~(num_layers-2)x. Middle blocks use
+            # a constant path_drop_rate (scan requires identical structure).
+            mid_cfg = block_cfg(1)
+            mid_cfg["path_drop_rate"] = float(np.mean(dpr[1:-1]))
+
+            x = FourierNeuralOperatorBlock(**block_cfg(0), name="blocks_0")(
+                x, deterministic=deterministic)
+
+            class _ScanBody(nn.Module):
+                deterministic: bool
+
+                @nn.compact
+                def __call__(self, carry, _):
+                    y = FourierNeuralOperatorBlock(**mid_cfg, name="block")(
+                        carry, deterministic=self.deterministic)
+                    return y, None
+
+            body = _ScanBody
+            if self.checkpointing >= 3:
+                body = nn.remat(body, prevent_cse=False)
+            scan = nn.scan(
+                body,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                length=self.num_layers - 2,
+            )
+            x, _ = scan(deterministic=deterministic, name="scan_blocks")(x, None)
+
+            x = FourierNeuralOperatorBlock(**block_cfg(self.num_layers - 1),
+                                           name=f"blocks_{self.num_layers - 1}")(
+                x, deterministic=deterministic)
+        else:
+            blocks = [FourierNeuralOperatorBlock(**block_cfg(i), name=f"blocks_{i}")
+                      for i in range(self.num_layers)]
+
+            # weight-tied repeats (ref: sfnonet.py:577-585)
+            for _ in range(self.repeat_layers):
+                for blk in blocks:
+                    if self.checkpointing >= 3:
+                        x = nn.remat(type(blk).__call__, prevent_cse=False,
+                                     static_argnums=(2,))(blk, x, deterministic)
+                    else:
+                        x = blk(x, deterministic=deterministic)
 
         decoder = EncoderDecoder(
             num_layers=self.encoder_layers,
