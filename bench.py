@@ -82,11 +82,64 @@ def bench_sht():
     }))
 
 
+def bench_loader():
+    """Data-pipeline throughput (the reference's --enable_benchy capability):
+    HDF5 multifiles loader vs the native C++ raw-shard loader, GB/s."""
+    import tempfile
+
+    from makani_tpu.parallel import comm
+    import jax
+    comm.reset()
+    comm.init(devices=jax.devices()[:1])
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
+    from testutils import get_default_parameters, init_dataset
+    from makani_tpu.data import get_dataloader
+    from makani_tpu.data.native_loader import convert_h5_to_bin
+
+    nlat = int(os.environ.get("BENCH_NLAT", 181))
+    nlon = int(os.environ.get("BENCH_NLON", 360))
+    chans = int(os.environ.get("BENCH_CHANS", 20))
+    samples = int(os.environ.get("BENCH_SAMPLES", 64))
+
+    tmp = tempfile.mkdtemp()
+    params = get_default_parameters()
+    params["img_shape_x"], params["img_shape_y"] = nlat, nlon
+    params["in_channels"] = list(range(chans))
+    params["out_channels"] = list(range(chans))
+    params["channel_names"] = [f"c{i}" for i in range(chans)]
+    params = init_dataset(tmp, params, n_samples_per_year=samples, n_years=1)
+    params["batch_size"] = 4
+    params["num_data_workers"] = 4
+
+    results = {}
+    bin_dir = os.path.join(tmp, "bin")
+    convert_h5_to_bin(params.train_data_path, bin_dir)
+    for name, location in [("h5", params.train_data_path), ("native", bin_dir)]:
+        loader, _ = get_dataloader(params, location, train=True)
+        next(iter(loader))  # warm
+        nbytes = 0
+        t0 = time.perf_counter()
+        for batch in loader:
+            nbytes += sum(b.nbytes for b in batch)
+        dt = time.perf_counter() - t0
+        results[name] = nbytes / dt / 1024**3
+
+    print(json.dumps({
+        "metric": f"data loader throughput {chans}ch {nlat}x{nlon} (h5 {results['h5']:.2f} GB/s)",
+        "value": round(results["native"], 4),
+        "unit": "GB/s (native loader)",
+        "vs_baseline": round(results["native"] / max(results["h5"], 1e-9), 2),
+    }))
+
+
 def main():
     import jax
 
     if os.environ.get("BENCH_MODE", "train") == "sht":
         return bench_sht()
+    if os.environ.get("BENCH_MODE", "train") == "loader":
+        return bench_loader()
 
     tm = os.environ.get("BENCH_TABLES")
     if tm:

@@ -112,3 +112,31 @@ def test_autoregression_pipeline_with_history_and_zenith(tmp_path):
     trainer = Trainer(params, world_rank=0)
     errors = trainer.test_autoregression_pipeline()
     assert errors == 0
+
+
+def test_trainer_multistep_with_zenith(tmp_path):
+    """Multistep autoregressive training (n_future=1) with zenith channels."""
+    from makani_tpu.utils.trainer import Trainer
+
+    params = _trainer_params(tmp_path)
+    params["n_future"] = 1
+    params["add_zenith"] = True
+    params["n_train_samples_per_epoch"] = 4
+    params["valid_autoreg_steps"] = 1
+    trainer = Trainer(params, world_rank=0)
+    trainer.train()
+    assert trainer.iters > 0
+    assert np.isfinite(trainer.metrics.logs["base"]["validation loss"])
+
+
+def test_trainer_synthetic_data(tmp_path):
+    """DummyLoader path (--enable_synthetic_data capability)."""
+    from makani_tpu.utils.trainer import Trainer
+
+    params = _trainer_params(tmp_path)
+    params["enable_synthetic_data"] = True
+    params["n_train_samples_per_epoch"] = 4
+    params["n_eval_samples"] = 2
+    trainer = Trainer(params, world_rank=0)
+    trainer.train()
+    assert trainer.iters > 0
