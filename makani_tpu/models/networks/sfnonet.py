@@ -385,9 +385,9 @@ class SphericalFourierNeuralOperatorNet(nn.Module):
                         carry, deterministic=self.deterministic)
                     return y, None
 
-            body = _ScanBody
-            if self.checkpointing >= 3:
-                body = nn.remat(body, prevent_cse=False)
+            # scan bodies must be rematerialized: scan-of-AD otherwise saves
+            # every internal intermediate of every step
+            body = nn.remat(_ScanBody, prevent_cse=False)
             scan = nn.scan(
                 body,
                 variable_axes={"params": 0},
