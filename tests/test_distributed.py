@@ -160,3 +160,42 @@ def test_tensor_parallel_sfno_matches_serial():
     comm.reset()
 
     np.testing.assert_allclose(y_tp, y_serial, rtol=2e-4, atol=2e-4)
+
+
+def test_distributed_trainer_end_to_end(tmp_path):
+    """Full Trainer on a (data=2, h=2, w=2) mesh with synthetic data: the
+    jitted train/eval steps must run under GSPMD with sharded batches."""
+    import sys
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    from testutils import get_default_parameters, init_dataset
+    from makani_tpu.utils.trainer import Trainer
+
+    comm.reset()
+    comm.init(model_parallel_sizes=[2, 2, 1, 1], devices=jax.devices()[:8])
+    try:
+        params = get_default_parameters()
+        params.nettype = "SFNO"
+        params.update_params({
+            "embed_dim": 16, "num_layers": 2, "scale_factor": 2,
+            "use_mlp": True, "mlp_ratio": 2.0, "activation_function": "gelu",
+            "pos_embed": "none", "operator_type": "dhconv", "filter_type": "linear",
+            "normalization_layer": "instance_norm", "loss": "geometric l2",
+            "lr": 1e-4, "batch_size": 1, "max_epochs": 1,
+            "n_train_samples_per_epoch": 4, "n_eval_samples": 2,
+            "valid_autoreg_steps": 1, "scheduler": "none",
+            "optimizer_type": "Adam", "save_checkpoint": "none",
+            "enable_synthetic_data": True,
+        })
+        params = init_dataset(str(tmp_path), params, n_samples_per_year=8, n_years=1)
+        params["experiment_dir"] = str(tmp_path / "exp")
+        params["checkpoint_path"] = str(tmp_path / "exp" / "ckpt")
+        params["best_checkpoint_path"] = str(tmp_path / "exp" / "best_ckpt")
+
+        trainer = Trainer(params, world_rank=0)
+        # global batch = local batch x data size
+        assert trainer.data_parallel_size == 2
+        trainer.train()
+        assert trainer.iters > 0
+        assert np.isfinite(trainer.metrics.logs["base"]["validation loss"])
+    finally:
+        comm.reset()
