@@ -149,18 +149,28 @@ def main():
     # flagship first; on single-chip OOM step the width down so the driver
     # always gets a number (the full 73ch/edim384 model targets multi-chip
     # sharding — its optimizer state alone is ~7GB)
+    import gc
+
     embed_ladder = [int(os.environ.get("BENCH_EMBED", 384)), 320, 256, 192, 128]
-    last_err = None
+    last_msg = None
     for embed in dict.fromkeys(embed_ladder):
         try:
             return run_train_bench(embed)
         except jax.errors.JaxRuntimeError as e:
-            if "Ran out of memory" in str(e) or "RESOURCE_EXHAUSTED" in str(e):
+            msg = str(e)
+            oom = "Ran out of memory" in msg or "RESOURCE_EXHAUSTED" in msg
+            # drop the exception + traceback: its frames keep the failed
+            # attempt's params/optimizer buffers alive on the chip
+            last_msg = msg[:2000]
+            del e
+            gc.collect()
+            jax.clear_caches()
+            gc.collect()
+            if oom:
                 print(f"# edim {embed} OOM on this chip; stepping down", file=sys.stderr, flush=True)
-                last_err = e
                 continue
-            raise
-    raise last_err
+            raise RuntimeError(last_msg)
+    raise RuntimeError(f"all ladder sizes OOMed; last error: {last_msg}")
 
 
 def run_train_bench(embed):

@@ -14,3 +14,14 @@ NVIDIA Makani (reference: choutilin/makani fork):
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # lazy top-level conveniences (ref: makani exposes Trainer/Inferencer)
+    if name == "Trainer":
+        from makani_tpu.utils.trainer import Trainer
+        return Trainer
+    if name == "Inferencer":
+        from makani_tpu.utils.inferencer import Inferencer
+        return Inferencer
+    raise AttributeError(f"module 'makani_tpu' has no attribute {name!r}")
