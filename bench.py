@@ -151,7 +151,9 @@ def main():
     # sharding — its optimizer state alone is ~7GB)
     import gc
 
-    embed_ladder = [int(os.environ.get("BENCH_EMBED", 384)), 320, 256, 192, 128]
+    # default = largest config known to fit this 16GB chip; the true
+    # edim-384 flagship (multi-chip target) is opt-in via BENCH_EMBED=384
+    embed_ladder = [int(os.environ.get("BENCH_EMBED", 320)), 256, 192, 128]
     last_msg = None
     for embed in dict.fromkeys(embed_ladder):
         try:
