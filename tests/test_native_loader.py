@@ -62,3 +62,25 @@ def test_native_loader_in_dataloader(tmp_path):
     inp, tar = batches[0][:2]
     assert inp.shape == (2, 1, 4, 36, 72)
     assert np.isfinite(inp).all()
+
+
+def test_samples_offset(tmp_path):
+    """samples_offset selects later initial conditions (fork capability,
+    ref: dali_es_helper_2d.py:303-307)."""
+    from makani_tpu.data import get_dataloader
+
+    params = get_default_parameters()
+    params = init_dataset(str(tmp_path), params, n_samples_per_year=12, n_years=1)
+    params["n_eval_samples"] = 2
+    params["batch_size"] = 1
+    params["valid_autoreg_steps"] = 0
+
+    loader0, ds = get_dataloader(params, params.valid_data_path, train=False)
+    params["samples_offset"] = 3
+    loader3, _ = get_dataloader(params, params.valid_data_path, train=False)
+
+    b0 = next(iter(loader0))
+    b3 = next(iter(loader3))
+    # offset loader's first sample equals the base dataset's sample at index 3
+    np.testing.assert_allclose(b3[0][0], ds[3][0], rtol=1e-6)
+    assert not np.allclose(b0[0][0], b3[0][0])
