@@ -140,6 +140,8 @@ def main():
         return bench_sht()
     if os.environ.get("BENCH_MODE", "train") == "loader":
         return bench_loader()
+    if os.environ.get("BENCH_MODE", "train") == "afno":
+        return bench_afno()
 
     tm = os.environ.get("BENCH_TABLES")
     if tm:
@@ -173,6 +175,62 @@ def main():
                 continue
             raise RuntimeError(last_msg)
     raise RuntimeError(f"all ladder sizes OOMed; last error: {last_msg}")
+
+
+def bench_afno():
+    """AFNO FourCastNet-style training throughput (BASELINE staged config:
+    20ch, 721x1440 -> pad to patch-divisible 720x1440, patch 8x8)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from makani_tpu.models.networks.afnonet_v2 import AdaptiveFourierNeuralOperatorNet
+
+    nlat = int(os.environ.get("BENCH_NLAT", 720))
+    nlon = int(os.environ.get("BENCH_NLON", 1440))
+    chans = int(os.environ.get("BENCH_CHANS", 20))
+    embed = int(os.environ.get("BENCH_EMBED", 768))
+    layers = int(os.environ.get("BENCH_LAYERS", 12))
+    n_iters = int(os.environ.get("BENCH_ITERS", 10))
+
+    model = AdaptiveFourierNeuralOperatorNet(
+        inp_shape=(nlat, nlon), patch_size=(8, 8), inp_chans=chans,
+        out_chans=chans, embed_dim=embed, num_layers=layers, num_blocks=8)
+
+    tx = optax.adam(1e-3)
+
+    def train_step(params, opt_state, x, y):
+        def loss_fn(p):
+            pred = model.apply({"params": p}, x).astype(jnp.float32)
+            return jnp.mean((pred - y) ** 2)
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(1, chans, nlat, nlon).astype(np.float32)).astype(jnp.bfloat16)
+    y = jnp.asarray(rng.randn(1, chans, nlat, nlon).astype(np.float32))
+
+    params = jax.jit(lambda k: model.init(k, x)["params"])(jax.random.PRNGKey(0))
+    opt_state = jax.jit(tx.init)(params)
+    step = jax.jit(train_step, donate_argnums=(0, 1))
+
+    t_c = time.perf_counter()
+    params, opt_state, loss = step(params, opt_state, x, y)
+    float(loss)
+    print(f"# afno step compiled+ran in {time.perf_counter()-t_c:.1f}s", file=sys.stderr, flush=True)
+
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        params, opt_state, loss = step(params, opt_state, x, y)
+    float(loss)
+    dt = time.perf_counter() - t0
+
+    print(json.dumps({
+        "metric": f"AFNO-{chans}ch {nlat}x{nlon} edim{embed} L{layers} bf16 train throughput",
+        "value": round(n_iters / dt, 4),
+        "unit": "steps/sec/chip",
+        "vs_baseline": 1.0,
+    }))
 
 
 def run_train_bench(embed):
