@@ -147,6 +147,12 @@ def main():
     if tm:
         from makani_tpu.ops.sht import set_table_mode
         set_table_mode(tm)
+    bp = os.environ.get("BENCH_PRECISION")
+    if bp:
+        from makani_tpu.ops.sht import set_transform_precision
+        from makani_tpu.ops.complex_ops import set_contraction_precision
+        set_transform_precision(bp)
+        set_contraction_precision(bp)
 
     # flagship first; on single-chip OOM step the width down so the driver
     # always gets a number (the full 73ch/edim384 model targets multi-chip
