@@ -153,6 +153,9 @@ def main():
         from makani_tpu.ops.complex_ops import set_contraction_precision
         set_transform_precision(bp)
         set_contraction_precision(bp)
+    if int(os.environ.get("BENCH_PALLAS", 0)):
+        from makani_tpu.ops.complex_ops import enable_pallas_kernels
+        enable_pallas_kernels(True)
 
     # flagship first; on single-chip OOM step the width down so the driver
     # always gets a number (the full 73ch/edim384 model targets multi-chip

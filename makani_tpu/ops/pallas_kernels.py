@@ -31,12 +31,12 @@ def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
 
-def _dhconv_kernel(xr_ref, xi_ref, wr_ref, wi_ref, or_ref, oi_ref):
+def _dhconv_kernel(xr_ref, xi_ref, wr_ref, wi_ref, o_ref):
     """One (b, l, m-tile) step: complex per-l channel mixing.
 
-    xr/xi: (1, 1, C, TM) block of x at mode l
-    wr/wi: (1, C, O)     weight slice at mode l
-    or/oi: (1, 1, O, TM) output block
+    xr/xi: (1, 1, C, TM)    block of x at mode l
+    wr/wi: (1, C, O)        weight slice at mode l
+    o:     (2, 1, 1, O, TM) stacked (real, imag) output block
     """
     xr = xr_ref[0, 0]  # (C, TM)
     xi = xi_ref[0, 0]
@@ -50,8 +50,8 @@ def _dhconv_kernel(xr_ref, xi_ref, wr_ref, wi_ref, or_ref, oi_ref):
     ri = jax.lax.dot_general(wr, xi, dimension_numbers=dn, preferred_element_type=jnp.float32)
     ir = jax.lax.dot_general(wi, xr, dimension_numbers=dn, preferred_element_type=jnp.float32)
 
-    or_ref[0, 0] = rr - ii
-    oi_ref[0, 0] = ri + ir
+    o_ref[0, 0, 0] = rr - ii
+    o_ref[1, 0, 0] = ri + ir
 
 
 def _dhconv_pallas_raw(xr, xi, wr, wi, interpret=False):
@@ -70,18 +70,19 @@ def _dhconv_pallas_raw(xr, xi, wr, wi, interpret=False):
 
     x_spec = pl.BlockSpec((1, 1, C, TM), lambda b, l, m: (b, l, 0, m))
     w_spec = pl.BlockSpec((1, C, O), lambda b, l, m: (l, 0, 0))
-    o_spec = pl.BlockSpec((1, 1, O, TM), lambda b, l, m: (b, l, 0, m))
+    # single stacked (re, im) output
+    o_spec = pl.BlockSpec((2, 1, 1, O, TM), lambda b, l, m: (0, b, l, 0, m))
 
-    out_shape = [jax.ShapeDtypeStruct((B, L, O, Mp), jnp.float32)] * 2
-    ore, oim = pl.pallas_call(
+    out = pl.pallas_call(
         _dhconv_kernel,
         grid=grid,
         in_specs=[x_spec, x_spec, w_spec, w_spec],
-        out_specs=[o_spec, o_spec],
-        out_shape=out_shape,
+        out_specs=o_spec,
+        out_shape=jax.ShapeDtypeStruct((2, B, L, O, Mp), jnp.float32),
         interpret=interpret,
     )(xr, xi, wr, wi)
 
+    ore, oim = out[0], out[1]
     if Mp != M:
         ore = ore[..., :M]
         oim = oim[..., :M]
