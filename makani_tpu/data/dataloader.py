@@ -181,6 +181,12 @@ def get_dataloader(params, location, train=True, final_eval=False, enable_loggin
         # native C++ raw-shard reader (the DALI-analog data plane)
         from makani_tpu.data.native_loader import BinaryDataset
         dataset = BinaryDataset(params, location, train, enable_logging)
+    elif params.get("enable_zarr", False) or (
+            isinstance(location, str)
+            and _glob.glob(os.path.join(location, "????.zarr"))
+            and not _glob.glob(os.path.join(location, "????.h5"))):
+        from makani_tpu.data.zarr_helper import ZarrDataset
+        dataset = ZarrDataset(params, location, train, enable_logging)
     else:
         dataset = MultifilesDataset(params, location, train, enable_logging)
 

@@ -101,26 +101,34 @@ class MultifilesDataset:
             np.deg2rad(np.asarray(self.lat_lon[1], dtype=np.float64)),
         )
 
+    # storage hooks (overridden by ZarrDataset in data/zarr_helper.py)
+    _file_pattern = "????.h5"
+
+    def _peek_shape(self, path):
+        with h5py.File(path, "r") as f:
+            return f[self.dataset_path].shape
+
     def _get_files_stats(self):
         self.files_paths = []
         locations = [self.location] if not isinstance(self.location, list) else self.location
         for location in locations:
-            self.files_paths += glob.glob(os.path.join(location, "????.h5"))
+            self.files_paths += glob.glob(os.path.join(location, self._file_pattern))
         if not self.files_paths:
-            raise IOError(f"Error, the specified file path {locations} does not contain h5 files.")
+            raise IOError(
+                f"Error, the specified file path {locations} does not contain "
+                f"{self._file_pattern} files.")
         self.files_paths.sort()
         self.years = [int(os.path.splitext(os.path.basename(x))[0]) for x in self.files_paths]
         self.files = [None] * len(self.files_paths)
         self.n_years = len(self.files_paths)
 
-        with h5py.File(self.files_paths[0], "r") as f:
-            self.img_shape = f[self.dataset_path].shape[2:4]
-            self.total_channels = f[self.dataset_path].shape[1]
+        shape0 = self._peek_shape(self.files_paths[0])
+        self.img_shape = shape0[2:4]
+        self.total_channels = shape0[1]
 
-        self.n_samples_year = []
-        for filename in self.files_paths:
-            with h5py.File(filename, "r") as f:
-                self.n_samples_year.append(f[self.dataset_path].shape[0])
+        self.n_samples_year = [shape0[0]]
+        for filename in self.files_paths[1:]:
+            self.n_samples_year.append(self._peek_shape(filename)[0])
 
         # crops and io-sharded read windows
         if self.crop_size[0] is None:
@@ -200,9 +208,17 @@ class MultifilesDataset:
             axis=0).astype(np.float32)
 
         if self.add_zenith:
+            # anchor = the most recent input time (global_idx + dt*n_history:
+            # field windows above run forward from global_idx). The reference's
+            # primary DALI reader anchors fields and zenith consistently at
+            # local_idx (dali_es_helper_2d.py:167,388); its multifiles loader
+            # reads fields forward but zenith backward (data_loader_multifiles
+            # .py:238-246,271), misaligning zenith by dt*n_history when
+            # n_history>0 — fixed here by shifting the zenith anchor.
             year_idx = bisect_right(self.year_offsets, global_idx) - 1
             local_idx = global_idx - self.year_offsets[year_idx]
-            zen_inp, zen_tar = self._compute_zenith_angle(local_idx, year_idx)
+            zen_inp, zen_tar = self._compute_zenith_angle(
+                local_idx + self.dt * self.n_history, year_idx)
             result = (inp, tar, zen_inp.astype(np.float32), zen_tar.astype(np.float32))
         else:
             result = (inp, tar)

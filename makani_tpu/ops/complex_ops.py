@@ -36,15 +36,30 @@ def view_as_real(z):
     return jnp.stack([jnp.real(z), jnp.imag(z)], axis=-1)
 
 
+# 3-multiplication (Karatsuba) complex products: 25% fewer MXU FLOPs than the
+# naive 4-mult form at the cost of ~1 extra ulp of rounding (well inside the
+# TF32-equivalent tolerance the reference runs at). Toggle for A/B testing.
+_USE_3M = True
+
+
+def set_3m_contraction(flag: bool):
+    global _USE_3M
+    _USE_3M = bool(flag)
+
+
 def _cplx_einsum(eq, x, w):
-    """Complex einsum via 3 real contractions (Karatsuba-free 4-mult form kept
-    simple: XLA fuses; explicit split avoids complex-dot lowering on TPU)."""
+    """Complex einsum via real contractions; complex-dot lowering on TPU is
+    avoided by splitting into real planes explicitly (XLA fuses the rest)."""
     xr, xi = jnp.real(x), jnp.imag(x)
     wr, wi = jnp.real(w), jnp.imag(w)
     rr = jnp.einsum(eq, xr, wr, precision=_PRECISION)
+    ii = jnp.einsum(eq, xi, wi, precision=_PRECISION)
+    if _USE_3M:
+        # (xr+xi)(wr+wi) - rr - ii = xr*wi + xi*wr
+        cross = jnp.einsum(eq, xr + xi, wr + wi, precision=_PRECISION)
+        return jax.lax.complex(rr - ii, cross - rr - ii)
     ri = jnp.einsum(eq, xr, wi, precision=_PRECISION)
     ir = jnp.einsum(eq, xi, wr, precision=_PRECISION)
-    ii = jnp.einsum(eq, xi, wi, precision=_PRECISION)
     return jax.lax.complex(rr - ii, ri + ir)
 
 

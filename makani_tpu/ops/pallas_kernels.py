@@ -31,7 +31,7 @@ def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
 
-def _dhconv_kernel(xr_ref, xi_ref, wr_ref, wi_ref, o_ref):
+def _dhconv_kernel(xr_ref, xi_ref, wr_ref, wi_ref, o_ref, *, precision):
     """One (b, l, m-tile) step: complex per-l channel mixing.
 
     xr/xi: (1, 1, C, TM)    block of x at mode l
@@ -43,19 +43,44 @@ def _dhconv_kernel(xr_ref, xi_ref, wr_ref, wi_ref, o_ref):
     wr = wr_ref[0]     # (C, O)
     wi = wi_ref[0]
 
-    # contract C: (C, O) x (C, TM) -> (O, TM), f32 accumulation on the MXU
+    # contract C: (C, O) x (C, TM) -> (O, TM), f32 accumulation on the MXU.
+    # precision matters: Mosaic's plain f32 dot is a single bf16 pass (~2%
+    # error) and it rejects Precision.HIGH, so the 3-pass bf16 decomposition
+    # (= the jnp path's HIGH / the reference's TF32) is built by hand from
+    # hi/lo bf16 splits: a*b ~= ah*bh + ah*bl + al*bh.
     dn = (((0,), (0,)), ((), ()))
-    rr = jax.lax.dot_general(wr, xr, dimension_numbers=dn, preferred_element_type=jnp.float32)
-    ii = jax.lax.dot_general(wi, xi, dimension_numbers=dn, preferred_element_type=jnp.float32)
-    ri = jax.lax.dot_general(wr, xi, dimension_numbers=dn, preferred_element_type=jnp.float32)
-    ir = jax.lax.dot_general(wi, xr, dimension_numbers=dn, preferred_element_type=jnp.float32)
+
+    def dot(a, b):
+        return jax.lax.dot_general(a, b, dimension_numbers=dn,
+                                   preferred_element_type=jnp.float32)
+
+    if precision in (jax.lax.Precision.HIGH, jax.lax.Precision.HIGHEST):
+        def split(v):
+            hi = v.astype(jnp.bfloat16)
+            lo = (v - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            return hi, lo
+
+        def dot3(a, b):
+            ah, al = split(a)
+            bh, bl = split(b)
+            return dot(ah, bh) + dot(ah, bl) + dot(al, bh)
+    else:
+        dot3 = dot
+
+    # 3-mult complex product: re = rr - ii, im = (wr+wi)(xr+xi) - rr - ii
+    rr = dot3(wr, xr)
+    ii = dot3(wi, xi)
+    cross = dot3(wr + wi, xr + xi)
 
     o_ref[0, 0, 0] = rr - ii
-    o_ref[1, 0, 0] = ri + ir
+    o_ref[1, 0, 0] = cross - rr - ii
 
 
 def _dhconv_pallas_raw(xr, xi, wr, wi, interpret=False):
     """xr/xi: (B, L, C, M); wr/wi: (L, C, O) -> (B, L, O, M) real pairs."""
+    from makani_tpu.ops import complex_ops
+
+    precision = complex_ops._PRECISION
     B, L, C, M = xr.shape
     O = wr.shape[-1]
 
@@ -74,7 +99,7 @@ def _dhconv_pallas_raw(xr, xi, wr, wi, interpret=False):
     o_spec = pl.BlockSpec((2, 1, 1, O, TM), lambda b, l, m: (0, b, l, 0, m))
 
     out = pl.pallas_call(
-        _dhconv_kernel,
+        functools.partial(_dhconv_kernel, precision=precision),
         grid=grid,
         in_specs=[x_spec, x_spec, w_spec, w_spec],
         out_specs=o_spec,

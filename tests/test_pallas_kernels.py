@@ -22,7 +22,9 @@ def test_dhconv_pallas_matches_einsum(B, C, O, L, M):
 
     ref = contract_dhconv(x, w)
     out = contract_dhconv_pallas(x, w, True)  # interpret mode
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
+    # the kernel hand-rolls the 3-pass bf16 (TF32-equivalent) decomposition
+    # even in interpret mode, so tolerance is bf16x3-level, not exact-f32
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=5e-3, atol=5e-3)
 
 
 def test_dhconv_pallas_grads_match():
@@ -39,5 +41,5 @@ def test_dhconv_pallas_grads_match():
     gx_ref, gw_ref = jax.grad(loss_ref, argnums=(0, 1))(x, w)
     gx_pl, gw_pl = jax.grad(loss_pl, argnums=(0, 1))(x, w)
 
-    np.testing.assert_allclose(np.asarray(gx_pl), np.asarray(gx_ref), rtol=1e-4, atol=1e-4)
-    np.testing.assert_allclose(np.asarray(gw_pl), np.asarray(gw_ref), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gx_pl), np.asarray(gx_ref), rtol=5e-3, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(gw_pl), np.asarray(gw_ref), rtol=5e-3, atol=5e-3)
