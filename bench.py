@@ -292,6 +292,22 @@ def run_train_bench(embed):
     params, opt_state = jax.jit(init_fn)(key, x)
     jax.block_until_ready(params)
     print(f"# init compiled+ran in {time.perf_counter()-t_start:.1f}s", file=sys.stderr, flush=True)
+
+    # ablation modes: BENCH_ABLATE=fwd (inference step) | fwdbwd (no optimizer)
+    ablate = os.environ.get("BENCH_ABLATE", "")
+    if ablate == "fwd":
+        def train_step(params, opt_state, x, y):
+            pred = model.apply({"params": params}, x).astype(jnp.float32)
+            return params, opt_state, jnp.mean((pred - y) ** 2)
+    elif ablate == "fwdbwd":
+        def train_step(params, opt_state, x, y):
+            def loss_fn(p):
+                pred = model.apply({"params": p}, x).astype(jnp.float32)
+                return jnp.mean((pred - y) ** 2)
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            # fold grads into params so nothing is dead-code-eliminated
+            params = jax.tree.map(lambda p, g: p - 0.0 * g, params, grads)
+            return params, opt_state, loss
     step = jax.jit(train_step, donate_argnums=(0, 1))
 
     # warmup + compile (float() materializes on host: block_until_ready

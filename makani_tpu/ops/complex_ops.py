@@ -21,6 +21,9 @@ def set_contraction_precision(name: str):
     global _PRECISION
     _PRECISION = {
         "default": jax.lax.Precision.DEFAULT,
+        # split2 is a transform-table mode (ops/sht.py); contractions have two
+        # dynamic operands, so it maps to the 3-pass HIGH here
+        "split2": jax.lax.Precision.HIGH,
         "high": jax.lax.Precision.HIGH,
         "highest": jax.lax.Precision.HIGHEST,
     }[name]

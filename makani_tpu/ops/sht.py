@@ -40,10 +40,17 @@ _PRECISION = jax.lax.Precision.HIGH
 
 
 def set_transform_precision(name: str):
-    """'default' | 'high' (tf32-like) | 'highest' (full f32)."""
+    """'default' | 'split2' | 'high' (tf32-like) | 'highest' (full f32).
+
+    'split2' is the TPU-native middle ground: activations round to bf16 (one
+    pass) while the *tables* keep ~16 mantissa bits via a bf16 hi/lo split
+    (two passes). 2/3 the MXU work of HIGH with table-side accuracy intact —
+    the loss vs the reference's TF32 is ~1 mantissa bit on the activations.
+    """
     global _PRECISION
     _PRECISION = {
         "default": jax.lax.Precision.DEFAULT,
+        "split2": "split2",
         "high": jax.lax.Precision.HIGH,
         "highest": jax.lax.Precision.HIGHEST,
     }[name]
@@ -51,6 +58,17 @@ def set_transform_precision(name: str):
 
 def get_transform_precision():
     return _PRECISION
+
+
+def transform_einsum(eq, x, table, precision):
+    """Activation x table einsum honoring the extended precision modes."""
+    if precision == "split2":
+        xb = x.astype(jnp.bfloat16)
+        th = table.astype(jnp.bfloat16)
+        tl = (table - th.astype(jnp.float32)).astype(jnp.bfloat16)
+        return (jnp.einsum(eq, xb, th, preferred_element_type=jnp.float32)
+                + jnp.einsum(eq, xb, tl, preferred_element_type=jnp.float32))
+    return jnp.einsum(eq, x, table, precision=precision)
 
 
 # Table source: "host" embeds f64-derived f32 tables as program constants
@@ -136,8 +154,8 @@ class RealSHT:
 
         # longitudinal integral as a truncated DFT matmul (real pairs)
         C, S = self._rdft_tables()
-        re = jnp.einsum("...j,jm->...m", x, C, precision=_PRECISION)
-        im = -jnp.einsum("...j,jm->...m", x, S, precision=_PRECISION)
+        re = transform_einsum("...j,jm->...m", x, C, _PRECISION)
+        im = -transform_einsum("...j,jm->...m", x, S, _PRECISION)
 
         # quadrature weights applied to the (small) spectral intermediate so
         # the Legendre table can be shared with the inverse transform
@@ -151,8 +169,8 @@ class RealSHT:
             im = spmd.constrain(im, "data", ("fin", "h"), None, "w")
 
         w = self._pct_table()
-        ore = jnp.einsum("...km,mlk->...lm", re, w, precision=_PRECISION)
-        oim = jnp.einsum("...km,mlk->...lm", im, w, precision=_PRECISION)
+        ore = transform_einsum("...km,mlk->...lm", re, w, _PRECISION)
+        oim = transform_einsum("...km,mlk->...lm", im, w, _PRECISION)
         out = jax.lax.complex(ore, oim)
 
         if dist:
@@ -201,8 +219,8 @@ class InverseRealSHT:
             xim = spmd.constrain(xim, "data", ("fin", "h"), None, "w")
 
         pct = self._pct_table()
-        re = jnp.einsum("...lm,mlk->...km", xre, pct, precision=_PRECISION)
-        im = jnp.einsum("...lm,mlk->...km", xim, pct, precision=_PRECISION)
+        re = transform_einsum("...lm,mlk->...km", xre, pct, _PRECISION)
+        im = transform_einsum("...lm,mlk->...km", xim, pct, _PRECISION)
 
         if dist:
             # m local for the inverse lon transform, lat over h, channels over w
@@ -211,8 +229,8 @@ class InverseRealSHT:
 
         # real synthesis matmul sums the +/-m conjugate pairs
         Cs, Ss = self._irdft_tables()
-        out = (jnp.einsum("...m,mj->...j", re, Cs, precision=_PRECISION)
-               - jnp.einsum("...m,mj->...j", im, Ss, precision=_PRECISION))
+        out = (transform_einsum("...m,mj->...j", re, Cs, _PRECISION)
+               - transform_einsum("...m,mj->...j", im, Ss, _PRECISION))
 
         if dist:
             out = spmd.constrain(out, "data", "fin", "h", "w")

@@ -36,6 +36,35 @@ COMPOSITE = {
 }
 
 
+_DIST_BOOTSTRAPPED = False
+
+
+def _bootstrap_multiprocess():
+    """Multi-process rendezvous (the reference's DistributedManager "wireup"
+    over env/mpi, ref: comm.py:97-107). jax.distributed.initialize()
+    auto-detects Cloud TPU pods / SLURM / GKE; must run BEFORE any backend
+    touch, so detection is env-only. Opt-in triggers:
+      - MAKANI_DISTRIBUTED=1 (explicit),
+      - JAX_COORDINATOR_ADDRESS set (manual cluster),
+      - SLURM_NTASKS > 1 (SLURM launch, like the reference's srun scripts).
+    """
+    global _DIST_BOOTSTRAPPED
+    if _DIST_BOOTSTRAPPED:
+        return
+    import os
+    want = (
+        os.environ.get("MAKANI_DISTRIBUTED", "") not in ("", "0")
+        or os.environ.get("JAX_COORDINATOR_ADDRESS")
+        or int(os.environ.get("SLURM_NTASKS", "1") or 1) > 1
+    )
+    if want:
+        jax.distributed.initialize()
+        logger.info(
+            f"jax.distributed initialized: process {jax.process_index()}/"
+            f"{jax.process_count()}")
+    _DIST_BOOTSTRAPPED = True
+
+
 def init(model_parallel_sizes: List[int] = (1, 1, 1, 1),
          model_parallel_names: List[str] = ("h", "w", "fin", "fout"),
          params=None, verbose: bool = False,
@@ -53,6 +82,10 @@ def init(model_parallel_sizes: List[int] = (1, 1, 1, 1),
     import os
     if os.environ.get("MAKANI_PLATFORM"):
         jax.config.update("jax_platforms", os.environ["MAKANI_PLATFORM"])
+
+    explicit_devices = devices
+    if devices is None:
+        _bootstrap_multiprocess()
 
     sizes = dict(zip(model_parallel_names, model_parallel_sizes))
     for ax in MODEL_AXES:
@@ -72,7 +105,13 @@ def init(model_parallel_sizes: List[int] = (1, 1, 1, 1),
     axis_sizes = (data_size,) + tuple(sizes[ax] for ax in MODEL_AXES)
     axis_names = ("data",) + MODEL_AXES
 
-    dev_array = np.asarray(devices).reshape(axis_sizes)
+    if explicit_devices is None and jax.default_backend() == "tpu" and n_devices > 1:
+        # topology-aware layout: model axes ride ICI, data rides DCN
+        from jax.experimental import mesh_utils
+        dev_array = mesh_utils.create_device_mesh(axis_sizes, devices=devices)
+    else:
+        # plain order: data outermost (= across processes), model axes local
+        dev_array = np.asarray(devices).reshape(axis_sizes)
     _MESH = Mesh(dev_array, axis_names)
 
     if verbose:
