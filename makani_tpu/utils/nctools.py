@@ -39,6 +39,49 @@ def read_netcdf_var(path, name):
         return f[name][...]
 
 
+def var_shape(path, name):
+    """Shape of a variable without reading it (ref nctools.getVarShape)."""
+    with h5py.File(path, "r") as f:
+        return tuple(f[name].shape)
+
+
+def create_netcdf(path, name, shape, dim_names, dims=None, dtype="f4",
+                  chunks=None, var_attrs=None):
+    """Create a NetCDF-4 file with one empty N-d variable for streamed,
+    sliced writes (ref: makani/third_party/nctools.py create/ncwriteatt —
+    the fork builds multi-GB merged training files incrementally)."""
+    with h5py.File(path, "w") as f:
+        f.attrs["_NCProperties"] = np.bytes_("version=2,makani_tpu=1")
+        for i, dn in enumerate(dim_names):
+            coord = None if dims is None else dims.get(dn)
+            if coord is None:
+                coord = np.arange(shape[i], dtype=np.float64)
+            d = f.create_dataset(dn, data=np.asarray(coord))
+            d.make_scale(dn)
+        v = f.create_dataset(name, shape=shape, dtype=dtype, chunks=chunks,
+                             fillvalue=np.nan if dtype in ("f4", "f8") else 0)
+        for i, dn in enumerate(dim_names):
+            v.dims[i].attach_scale(f[dn])
+        if var_attrs:
+            for k, a in var_attrs.items():
+                v.attrs[k] = a
+
+
+def write_netcdf_slice(path, name, data, slices=None):
+    """Write into an existing variable at the given slice tuple."""
+    with h5py.File(path, "a") as f:
+        if slices is None:
+            f[name][...] = data
+        else:
+            f[name][tuple(slices)] = data
+
+
+def write_netcdf_attr(path, name, key, value):
+    with h5py.File(path, "a") as f:
+        target = f.attrs if name is None else f[name].attrs
+        target[key] = value
+
+
 def write_prediction_file(output_path, data, extra_dims=None):
     """Write predictions shaped (time, var, lat, lon) in the fork's layout:
     one 'var{i}' variable per channel over dims (dim0, dim1, dim2)

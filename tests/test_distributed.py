@@ -77,6 +77,32 @@ def test_distributed_fft2_matches_serial(spatial_mesh, lmax, mmax):
     np.testing.assert_allclose(r_dist, r_serial, rtol=1e-5, atol=1e-5)
 
 
+def test_distributed_fft3_matches_serial(spatial_mesh):
+    """3D transform under a spatial mesh (depth stays local, lat/lon sharded
+    on entry — ref: makani/mpu/fft3d.py distributed variants)."""
+    from makani_tpu.ops.fft3d import RealFFT3, InverseRealFFT3
+
+    mesh = spatial_mesh
+    nd, nlat, nlon = 4, 16, 32
+    rng = np.random.RandomState(2)
+    x = rng.randn(2, 3, nd, nlat, nlon).astype(np.float32)
+
+    comm.reset()
+    fft = RealFFT3(nd, nlat, nlon, ldmax=4, lhmax=8, lwmax=9)
+    ifft = InverseRealFFT3(nd, nlat, nlon, ldmax=4, lhmax=8, lwmax=9)
+    y_serial = np.asarray(jax.jit(lambda v: fft(v))(jnp.asarray(x)))
+    r_serial = np.asarray(jax.jit(lambda v: ifft(fft(v)))(jnp.asarray(x)))
+
+    comm.init(model_parallel_sizes=[2, 2, 1, 1], devices=jax.devices()[:8])
+    # enter with lat/lon sharded over (h, w) like activations mid-model
+    xd = jax.device_put(x, NamedSharding(mesh, P("data", None, None, "h", "w")))
+    y_dist = np.asarray(jax.jit(lambda v: fft(v))(xd))
+    r_dist = np.asarray(jax.jit(lambda v: ifft(fft(v)))(xd))
+
+    np.testing.assert_allclose(y_dist, y_serial, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(r_dist, r_serial, rtol=1e-5, atol=1e-5)
+
+
 def test_distributed_sfno_matches_serial(spatial_mesh):
     """Full SFNO forward: serial vs (data=2, h=2, w=2) mesh."""
     from makani_tpu.models.networks import SphericalFourierNeuralOperatorNet
