@@ -85,9 +85,36 @@ class SpectralConv(nn.Module):
         # transforms always run in f32 (ref: spectral_convolution.py:130-141)
         x = fwd_t(x)
         if scale_residual:
-            residual = inv_t(x).astype(dtype)
+            from makani_tpu.parallel import spmd as _spmd
+            xr = x
+            if _spmd.model_distributed():
+                # re-pin the coefficient layout inside this branch so its
+                # cotangent is resharded to the canonical layout BEFORE being
+                # summed with the contraction branch's (mismatched-layout
+                # add_any otherwise degenerates to replicate-then-slice)
+                xr = _spmd.constrain(xr, "data", "fin", "h", "w")
+            residual = inv_t(xr).astype(dtype)
 
-        x = contract(x, view_as_complex(weight))
+        w = view_as_complex(weight)
+        # Pin the complex-viewed weight to the stored layout (i/fin, l/h
+        # [, m/w] — parallel/partitioning.py filter rule). The backward of
+        # this constraint reshards the weight cotangent as a plain all-to-all
+        # BEFORE the real-pair slice's pad/reshape transpose, which the
+        # partitioner cannot reshard across (involuntary full remat otherwise).
+        from makani_tpu.parallel import spmd
+        if spmd.model_distributed():
+            if self.operator_type == "diagonal":
+                spec = ("fin", None, "h", "w") if not self.separable else ("fin", "h", "w")
+            else:
+                spec = ("fin", None, "h") if not self.separable else ("fin", "h")
+            w = spmd.constrain(w, *spec)
+        x = contract(x, w)
+        if spmd.model_distributed():
+            # pin the contraction output to (b/data, o, l/h, m/w): the
+            # backward then sees dy in exactly the layout both transpose dots
+            # want (dx: contract o, batch l/h; dw: contract b,m -> psum over
+            # data,w; batch l/h), so no involuntary weight/activation remats
+            x = spmd.constrain(x, "data", None, "h", "w")
 
         x = inv_t(x)
 

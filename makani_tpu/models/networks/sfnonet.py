@@ -150,7 +150,17 @@ class FourierNeuralOperatorBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
+        from makani_tpu.parallel import spmd
+
         act = get_activation(self.act_name)
+
+        # canonical grid-space layout at block seams: batch/data, embed
+        # channels/fin (the reference's fin ping-pong), lat/h, lon/w. Anchoring
+        # every block at the same layout keeps the partitioner from inventing
+        # mixed channel-and-space tilings whose backward resharding degenerates
+        # to replicate-then-slice.
+        if spmd.model_distributed():
+            x = spmd.constrain(x, "data", "fin", "h", "w")
 
         # gain bookkeeping follows the reference init scheme (sfnonet.py:161-231)
         gain_factor = 1.0 if self.act_name == "identity" else 2.0

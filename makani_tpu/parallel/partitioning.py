@@ -28,9 +28,12 @@ _RULES = [
     (r".*(mlp|encoder|decoder)/(fc1|fwd_\d+)/bias$", lambda s: P("fout")),
     (r".*(mlp|encoder|decoder)/(fc2|out)/weight$", lambda s: P("fin", "fout")),
     (r".*(mlp|encoder|decoder)/(fc2|out)/bias$", lambda s: P("fin")),
-    # spectral conv weights: (i, o, l[, m], 2) - l over h, m over w
-    (r".*filter/weight$", lambda s: P(None, None, "h", "w", None) if len(s) == 5
-     else P(None, None, "h", None)),
+    # spectral conv weights: (i, o, l[, m], 2) - i over fin (row-parallel: the
+    # SHT leaves activation channels sharded over fin, so matching the
+    # contracted dim lets the weight stay put and GSPMD insert the psum —
+    # the reference's reduce_from_parallel_region), l over h, m over w
+    (r".*filter/weight$", lambda s: P("fin", None, "h", "w", None) if len(s) == 5
+     else P("fin", None, "h", None)),
     # 1x1 skips: out over fin (keeps embed layout), in replicated
     (r".*(inner_skip|outer_skip)/weight$", lambda s: P("fin", None)),
     # direct position embedding: spatial dims over h/w

@@ -58,12 +58,17 @@ def main():
     sht = RealSHT(NLAT, NLON, grid=GRID)
     isht = InverseRealSHT(NLAT, NLON, grid=GRID)
 
-    def run(v):
-        c = sht(v)
-        return jnp.real(c), jnp.imag(c), isht(c)
-
     for mode in ("default", "split2", "high", "highest"):
         sht_mod.set_transform_precision(mode)
+
+        # NOTE: the traced callable must be a FRESH function object per mode —
+        # jax.jit's fast-path cache is keyed on function identity + avals, so
+        # re-jitting the same `run` would silently reuse the first mode's
+        # trace (and its precision) without recompiling.
+        def run(v, _mode=mode):
+            c = sht(v)
+            return jnp.real(c), jnp.imag(c), isht(c)
+
         cre, cim, out = jax.jit(run)(jnp.asarray(x))
         cre, cim, out = np.asarray(cre), np.asarray(cim), np.asarray(out)
         espec = max(np.abs(cre - ref_re).max(), np.abs(cim - ref_im).max()) / ref_spec_norm
