@@ -17,6 +17,7 @@ import logging
 import os
 import queue
 import threading
+import time
 
 import numpy as np
 
@@ -218,4 +219,37 @@ def get_dataloader(params, location, train=True, final_eval=False, enable_loggin
     # expose normalization accessors like the reference loaders
     loader.get_output_normalization = dataset.get_output_normalization
     loader.get_input_normalization = dataset.get_input_normalization
+
+    if train and params.get("enable_benchy", False):
+        loader = BenchyLoader(loader, params)
     return loader, dataset
+
+
+class BenchyLoader:
+    """Throughput-instrumented loader wrapper (the reference wraps the train
+    loader in the external `benchy` BenchmarkGenericIteratorWrapper when
+    --enable_benchy is set, ref: makani/utils/dataloader.py:140-143). Logs
+    batches/s and effective GB/s every epoch."""
+
+    def __init__(self, loader, params):
+        self._loader = loader
+        self._log = logging.getLogger(__name__)
+
+    def __len__(self):
+        return len(self._loader)
+
+    def __getattr__(self, name):
+        return getattr(self._loader, name)
+
+    def __iter__(self):
+        t0 = time.perf_counter()
+        n, nbytes = 0, 0
+        for batch in self._loader:
+            n += 1
+            nbytes += sum(int(np.asarray(b).nbytes) for b in batch
+                          if hasattr(b, "nbytes") or hasattr(b, "shape"))
+            yield batch
+        dt = max(time.perf_counter() - t0, 1e-9)
+        self._log.info(
+            f"[benchy] {n} batches in {dt:.2f}s: {n / dt:.2f} batches/s, "
+            f"{nbytes / dt / 1e6:.2f} MB/s effective")

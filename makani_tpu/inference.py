@@ -40,6 +40,13 @@ def main():
     parser.add_argument("--inference_target_path", default="./targets.nc", type=str)
     parser.add_argument("--overwrite_output_path", action="store_true")
     parser.add_argument("--enable_synthetic_data", action="store_true")
+    parser.add_argument("--samples_offset", default=0, type=int,
+                        help="inference IC offset into the dataset (fork feature, "
+                             "ref: makani/inference.py:68, dali_es_helper_2d.py:303-307)")
+    parser.add_argument("--enable_odirect", action="store_true")
+    parser.add_argument("--enable_benchy", action="store_true")
+    parser.add_argument("--epsilon_factor", default=0, type=float)
+    parser.add_argument("--split_data_channels", action="store_true")
     args = parser.parse_args()
 
     params = YParams(os.path.abspath(args.yaml_config), args.config)
@@ -53,6 +60,11 @@ def main():
     params["model_parallel_names"] = ["h", "w", "fin", "fout"]
     params["load_checkpoint"] = args.load_checkpoint
     params["save_checkpoint"] = args.save_checkpoint
+    params["samples_offset"] = args.samples_offset
+    params["enable_odirect"] = args.enable_odirect
+    params["enable_benchy"] = args.enable_benchy
+    params["epsilon_factor"] = args.epsilon_factor
+    params["split_data_channels"] = args.split_data_channels
 
     world_rank = comm.init(model_parallel_sizes=params["model_parallel_sizes"],
                            model_parallel_names=params["model_parallel_names"])

@@ -39,6 +39,27 @@ def main():
     parser.add_argument("--save_checkpoint", default="flexible", choices=["none", "flexible", "legacy"], type=str)
     parser.add_argument("--load_checkpoint", default="flexible", choices=["flexible", "legacy"], type=str)
     parser.add_argument("--multistep_count", default=1, type=int)
+    parser.add_argument("--enable_odirect", action="store_true",
+                        help="O_DIRECT reads in the native data plane (ref: dali_es_helper_2d.py:104)")
+    parser.add_argument("--enable_benchy", action="store_true",
+                        help="Wrap the train loader in a throughput benchmark (ref: dataloader.py:140-143)")
+    parser.add_argument("--enable_grad_anomaly_detection", action="store_true",
+                        help="Trap NaN/Inf in the training step (jax_debug_nans; "
+                             "ref: torch.autograd.set_detect_anomaly, train.py:113-114)")
+    parser.add_argument("--split_data_channels", action="store_true",
+                        help="Shard data channels over the matmul group (ref: train.py:51)")
+    parser.add_argument("--epsilon_factor", default=0, type=float,
+                        help="Optimizer eps = 1e-8 * 10**epsilon_factor (the reference parses "
+                             "this flag without consuming it; here it scales Adam/AdamW eps)")
+    # accepted for reference CLI compatibility; capabilities are jit-native
+    parser.add_argument("--jit_mode", default="none", type=str,
+                        help="no-op: every step is XLA-compiled (ref jit_mode none|script|inductor)")
+    parser.add_argument("--cuda_graph_mode", default="none", type=str,
+                        help="no-op: jit gives whole-step graph capture (ref cuda_graph_mode)")
+    parser.add_argument("--disable_ddp", action="store_true",
+                        help="no-op: gradient reduction is part of the partitioned step")
+    parser.add_argument("--parameters_reduction_buffer_count", default=1, type=int,
+                        help="no-op: no DDP bucketing under GSPMD")
     args = parser.parse_args()
 
     params = YParams(os.path.abspath(args.yaml_config), args.config)
@@ -92,6 +113,11 @@ def main():
     params["multistep_count"] = args.multistep_count
     params["n_future"] = args.multistep_count - 1
     params["profile_steps"] = args.profile
+    params["enable_odirect"] = args.enable_odirect
+    params["enable_benchy"] = args.enable_benchy
+    params["enable_grad_anomaly_detection"] = args.enable_grad_anomaly_detection
+    params["split_data_channels"] = args.split_data_channels
+    params["epsilon_factor"] = args.epsilon_factor
 
     if world_rank == 0:
         logging_utils.config_logger()

@@ -28,15 +28,18 @@ def build_optimizer(params):
     b1 = params.get("optimizer_beta1", 0.9)
     b2 = params.get("optimizer_beta2", 0.95)
     wd = params.get("weight_decay", 0.0)
+    # epsilon_factor: the reference CLI parses this without consuming it
+    # (ref: makani/train.py:50,72 and no use site); here it scales Adam eps
+    eps = 1e-8 * (10.0 ** float(params.get("epsilon_factor", 0) or 0))
 
     if opt_type == "Adam":
-        tx.append(optax.scale_by_adam(b1=b1, b2=b2))
+        tx.append(optax.scale_by_adam(b1=b1, b2=b2, eps=eps))
     elif opt_type == "AdamW":
-        tx.append(optax.scale_by_adam(b1=b1, b2=b2))
+        tx.append(optax.scale_by_adam(b1=b1, b2=b2, eps=eps))
         if wd > 0:
             tx.append(optax.add_decayed_weights(wd))
     elif opt_type in ("FusedLAMB", "LAMB"):
-        tx.append(optax.scale_by_adam(b1=b1, b2=b2))
+        tx.append(optax.scale_by_adam(b1=b1, b2=b2, eps=eps))
         if wd > 0:
             tx.append(optax.add_decayed_weights(wd))
         tx.append(optax.scale_by_trust_ratio())

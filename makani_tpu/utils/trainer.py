@@ -103,6 +103,13 @@ class Trainer:
         set_transform_precision(tp)
         set_contraction_precision(tp)
 
+        # NaN/Inf trapping (ref: --enable_grad_anomaly_detection ->
+        # torch.autograd.set_detect_anomaly, makani/train.py:113-114). The
+        # jit-native equivalent re-runs the offending op un-jitted and raises
+        # FloatingPointError at the first non-finite value.
+        if params.get("enable_grad_anomaly_detection", False):
+            jax.config.update("jax_debug_nans", True)
+
         # optimizer + scheduler
         self.optimizer = build_optimizer(params)
         self.scheduler = LRScheduler(params)

@@ -140,3 +140,36 @@ def test_trainer_synthetic_data(tmp_path):
     trainer = Trainer(params, world_rank=0)
     trainer.train()
     assert trainer.iters > 0
+
+
+def test_trainer_benchy_and_epsilon_factor(tmp_path, caplog):
+    """--enable_benchy loader telemetry + epsilon_factor-scaled Adam eps
+    (ref flags: makani/train.py:50, makani/utils/dataloader.py:140-143)."""
+    import logging
+    from makani_tpu.utils.trainer import Trainer
+
+    params = _trainer_params(tmp_path, enable_benchy=True, epsilon_factor=2.0)
+    with caplog.at_level(logging.INFO, logger="makani_tpu.data.dataloader"):
+        trainer = Trainer(params, world_rank=0)
+        trainer.train()
+    assert trainer.iters > 0
+    assert any("[benchy]" in r.message for r in caplog.records)
+    assert np.isfinite(trainer.metrics.logs["base"]["validation loss"])
+
+
+def test_build_optimizer_epsilon_factor():
+    """eps = 1e-8 * 10**epsilon_factor: a huge eps freezes Adam updates."""
+    import jax.numpy as jnp
+    from makani_tpu.utils.optimizers import build_optimizer
+
+    g = {"w": jnp.ones((4,))}
+    p = {"w": jnp.zeros((4,))}
+
+    def step_norm(eps_factor):
+        tx = build_optimizer({"optimizer_type": "Adam", "epsilon_factor": eps_factor,
+                              "optimizer_max_grad_norm": 0})
+        state = tx.init(p)
+        upd, _ = tx.update(g, state, p)
+        return float(jnp.abs(upd["w"]).max())
+
+    assert step_norm(0.0) > 100 * step_norm(12.0)
