@@ -225,3 +225,43 @@ def test_distributed_trainer_end_to_end(tmp_path):
         assert np.isfinite(trainer.metrics.logs["base"]["validation loss"])
     finally:
         comm.reset()
+
+
+def test_distributed_multistep_trainer(tmp_path):
+    """Multistep AR training (n_future=1) under spatial+channel parallelism
+    (data=2, h=2, fin=2): the unrolled MultiStepWrapper step must compile and
+    run under GSPMD with finite loss (ref: stepper.py:84-121 under the
+    parallelism checklist SURVEY §2.13)."""
+    import sys
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    from testutils import get_default_parameters, init_dataset
+    from makani_tpu.utils.trainer import Trainer
+
+    comm.reset()
+    comm.init(model_parallel_sizes=[2, 1, 2, 1], devices=jax.devices()[:8])
+    try:
+        params = get_default_parameters()
+        params.nettype = "SFNO"
+        params.update_params({
+            "embed_dim": 16, "num_layers": 2, "scale_factor": 2,
+            "use_mlp": True, "mlp_ratio": 2.0, "activation_function": "gelu",
+            "pos_embed": "none", "operator_type": "dhconv", "filter_type": "linear",
+            "normalization_layer": "instance_norm", "loss": "geometric l2",
+            "lr": 1e-4, "batch_size": 1, "max_epochs": 1,
+            "n_train_samples_per_epoch": 4, "n_eval_samples": 2,
+            "valid_autoreg_steps": 1, "scheduler": "none",
+            "optimizer_type": "Adam", "save_checkpoint": "none",
+            "enable_synthetic_data": True,
+            "multistep_count": 2, "n_future": 1,
+        })
+        params = init_dataset(str(tmp_path), params, n_samples_per_year=8, n_years=1)
+        params["experiment_dir"] = str(tmp_path / "exp")
+        params["checkpoint_path"] = str(tmp_path / "exp" / "ckpt")
+        params["best_checkpoint_path"] = str(tmp_path / "exp" / "best_ckpt")
+
+        trainer = Trainer(params, world_rank=0)
+        trainer.train()
+        assert trainer.iters > 0
+        assert np.isfinite(trainer.metrics.logs["base"]["validation loss"])
+    finally:
+        comm.reset()
