@@ -176,9 +176,27 @@ class MultifilesDataset:
 
         return cos_zenith_inp, cos_zenith_tar
 
-    def _open_file(self, year_idx):
-        f = h5py.File(self.files_paths[year_idx], "r")
-        self.files[year_idx] = f[self.dataset_path]
+    def _open_file(self, year_idx, num_retries=5, retry_wait=5.0):
+        """Open a yearly file with retry/backoff — transient FS errors on
+        network storage must not kill a multi-day run (ref:
+        dali_es_helper_2d.py:471-480)."""
+        import logging
+        import time as _time
+
+        for attempt in range(num_retries):
+            try:
+                f = h5py.File(self.files_paths[year_idx], "r")
+                self.files[year_idx] = f[self.dataset_path]
+                return
+            except OSError:
+                if attempt == num_retries - 1:
+                    raise OSError(
+                        f"Unable to open {self.files_paths[year_idx]} "
+                        f"after {num_retries} attempts, aborting.")
+                logging.getLogger(__name__).warning(
+                    f"Cannot open {self.files_paths[year_idx]} "
+                    f"(attempt {attempt + 1}/{num_retries}), retrying.")
+                _time.sleep(retry_wait)
 
     def __len__(self):
         return self.n_samples_total - self.dt * (self.n_history + self.n_future + 1)

@@ -265,3 +265,49 @@ def test_distributed_multistep_trainer(tmp_path):
         assert np.isfinite(trainer.metrics.logs["base"]["validation loss"])
     finally:
         comm.reset()
+
+
+def test_opt_state_shardings_mirror_params():
+    """Sharded optimizer state: Adam moment buffers must inherit their
+    parameter's PartitionSpec (the multi-chip memory lever for the edim384
+    flagship, ref: SURVEY §2.3 parameter protocol applied to optimizer
+    state)."""
+    import optax
+    from makani_tpu.models.networks import SphericalFourierNeuralOperatorNet
+    from makani_tpu.parallel.partitioning import (
+        get_opt_state_shardings, get_param_shardings)
+
+    comm.reset()
+    comm.init(model_parallel_sizes=[2, 2, 2, 1], devices=jax.devices()[:8])
+    try:
+        model = SphericalFourierNeuralOperatorNet(
+            inp_shape=(16, 32), out_shape=(16, 32), scale_factor=2,
+            inp_chans=2, out_chans=2, embed_dim=8, num_layers=2,
+            operator_type="dhconv", use_mlp=True)
+        x = jnp.zeros((1, 2, 16, 32), jnp.float32)
+        shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0), x)
+        variables = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+
+        mesh = comm.get_mesh()
+        pshard = get_param_shardings(variables["params"], mesh)
+        tx = optax.adam(1e-3)
+        opt_state = jax.jit(tx.init)({"model": variables["params"]})
+        oshard = get_opt_state_shardings(opt_state, {"model": variables["params"]}, mesh)
+
+        # every param with a non-trivial spec has mu/nu sharded the same way
+        pflat, _ = jax.tree_util.tree_flatten_with_path(pshard)
+        specs_by_suffix = {
+            "/".join(str(getattr(k, "key", k)) for k in kp): s.spec
+            for kp, s in pflat}
+        oflat, _ = jax.tree_util.tree_flatten_with_path(oshard)
+        matched = 0
+        for kp, s in oflat:
+            path = "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in kp)
+            for suffix, spec in specs_by_suffix.items():
+                if path.endswith(suffix) and ("mu/" in path or "nu/" in path):
+                    assert s.spec == spec, f"{path}: {s.spec} != {spec}"
+                    matched += 1
+        nontrivial = sum(1 for sp in specs_by_suffix.values() if sp != P())
+        assert matched >= 2 * nontrivial > 0
+    finally:
+        comm.reset()
