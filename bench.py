@@ -317,6 +317,13 @@ def run_train_bench(embed):
     float(loss)
     print(f"# train step compiled+ran in {time.perf_counter()-t_c:.1f}s", file=sys.stderr, flush=True)
 
+    if os.environ.get("BENCH_PROFILE"):
+        # device-op trace of a few steps (xplane + trace.json under the dir)
+        with jax.profiler.trace(os.environ["BENCH_PROFILE"]):
+            for _ in range(2):
+                params, opt_state, loss = step(params, opt_state, x, y)
+            float(loss)
+
     t0 = time.perf_counter()
     for _ in range(n_iters):
         params, opt_state, loss = step(params, opt_state, x, y)

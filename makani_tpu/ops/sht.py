@@ -92,6 +92,62 @@ def _use_device_tables():
     return _TABLE_MODE == "device"
 
 
+# --- hoisted table plumbing ---------------------------------------------
+# In device-table mode the Legendre table is produced by a lax.scan over l
+# (ops/device_tables.legpoly_device). Left in the step graph it costs ~30 ms
+# per train step on a v5e (serial VPU work + dynamic_update_slice state).
+# materialize_tables() computes each distinct table ONCE into a concrete
+# device array; the step function passes that dict as an ARGUMENT (closed-over
+# jax.Arrays would be embedded into the HLO as constants — see CLAUDE.md) and
+# installs it with provided_tables() so the transforms fetch instead of
+# recompute. No provider/missing key -> in-graph compute (status quo).
+
+import contextlib
+
+_TABLE_STORE = None     # key -> array (or traced arg) during an applied step
+_TABLE_RECORDER = None  # key -> init_fn during recording
+
+
+@contextlib.contextmanager
+def provided_tables(tables):
+    global _TABLE_STORE
+    prev, _TABLE_STORE = _TABLE_STORE, tables
+    try:
+        yield
+    finally:
+        _TABLE_STORE = prev
+
+
+@contextlib.contextmanager
+def recording_tables(recorder: dict):
+    global _TABLE_RECORDER
+    prev, _TABLE_RECORDER = _TABLE_RECORDER, recorder
+    try:
+        yield
+    finally:
+        _TABLE_RECORDER = prev
+
+
+def _table(key, init_fn):
+    if _TABLE_STORE is not None and key in _TABLE_STORE:
+        return _TABLE_STORE[key]
+    if _TABLE_RECORDER is not None:
+        _TABLE_RECORDER.setdefault(key, init_fn)
+    return init_fn()
+
+
+def materialize_tables(trace_fn, *example_args):
+    """Abstractly trace `trace_fn` (e.g. a train step) recording every table
+    the transforms request, then compute them all in one jit. Returns a dict
+    {key: device array} to pass back through `provided_tables`."""
+    rec = {}
+    with recording_tables(rec):
+        jax.eval_shape(trace_fn, *example_args)
+    if not rec:
+        return {}
+    return jax.jit(lambda: {k: fn() for k, fn in rec.items()})()
+
+
 def _theta_weights(grid, nlat):
     cost, w = quadrature_nodes_weights(grid, nlat, -1.0, 1.0)
     # theta in [0, pi], ascending (north pole first)
@@ -132,7 +188,8 @@ class RealSHT:
     def _pct_table(self):
         if _use_device_tables():
             from makani_tpu.ops.device_tables import legpoly_device
-            return legpoly_device(self.mmax, self.lmax, self.tq)
+            key = f"pct:{self.grid}:{self.nlat}:{self.lmax}:{self.mmax}"
+            return _table(key, lambda: legpoly_device(self.mmax, self.lmax, self.tq))
         return device_constant(_get_pct(self.grid, self.nlat, self.lmax, self.mmax, True))
 
     def _rdft_tables(self):
@@ -196,7 +253,8 @@ class InverseRealSHT:
     def _pct_table(self):
         if _use_device_tables():
             from makani_tpu.ops.device_tables import legpoly_device
-            return legpoly_device(self.mmax, self.lmax, self.tq)
+            key = f"pct:{self.grid}:{self.nlat}:{self.lmax}:{self.mmax}"
+            return _table(key, lambda: legpoly_device(self.mmax, self.lmax, self.tq))
         return device_constant(_get_pct(self.grid, self.nlat, self.lmax, self.mmax, True))
 
     def _irdft_tables(self):
