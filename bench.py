@@ -308,7 +308,38 @@ def run_train_bench(embed):
             # fold grads into params so nothing is dead-code-eliminated
             params = jax.tree.map(lambda p, g: p - 0.0 * g, params, grads)
             return params, opt_state, loss
-    step = jax.jit(train_step, donate_argnums=(0, 1))
+    # hoist the in-graph Legendre/DFT table scans out of the step (same as
+    # the Trainer): compute each distinct table once, pass the dict as an
+    # ARGUMENT (closed-over arrays would be embedded as HLO constants).
+    # Saves ~30 ms/step at edim320 (the lmax-step lax.scan otherwise reruns
+    # inside every step).
+    from makani_tpu.ops import sht as sht_lib
+
+    tables = sht_lib.materialize_tables(train_step, params, opt_state, x, y)
+
+    def step_with_tables(params, opt_state, x, y, tables):
+        with sht_lib.provided_tables(tables):
+            return train_step(params, opt_state, x, y)
+
+    # AUTO layouts: let XLA pick the parameter/optimizer-state memory layouts
+    # the matmuls want (the dhconv weights otherwise get relaid out every
+    # step: ~27 ms at edim320). Donated + fed back each step, the state stays
+    # in the chosen layout; the one-time relayout happens at the first call.
+    if int(os.environ.get("BENCH_AUTO_LAYOUT", 1)):
+        # AUTO layouts (utils/layouts.py): XLA picks the layouts the matmuls
+        # want; the state is materialized in them once (leaf-by-leaf: a
+        # whole-tree device_put would double the 4.8GB param+optimizer
+        # residency and OOM the 16GB chip), then donation keeps it there
+        from makani_tpu.utils.layouts import compile_with_auto_layouts, reput_tree
+
+        compiled, in_fmts = compile_with_auto_layouts(
+            step_with_tables, (params, opt_state, x, y, tables), donate_argnums=(0, 1))
+        params, opt_state, x, y, tables = (
+            reput_tree(a, f) for a, f in zip((params, opt_state, x, y, tables), in_fmts))
+        step = lambda params, opt_state, x, y: compiled(params, opt_state, x, y, tables)
+    else:
+        step_jit = jax.jit(step_with_tables, donate_argnums=(0, 1))
+        step = lambda params, opt_state, x, y: step_jit(params, opt_state, x, y, tables)
 
     # warmup + compile (float() materializes on host: block_until_ready
     # does not truly synchronize on some remote backends)

@@ -151,3 +151,63 @@ def load_model_package(package, pretrained=True):
             package.get(MODEL_PACKAGE_CHECKPOINT_PATH), model_params, None)
 
     return ModelWrapper(model, model_params, params)
+
+
+class TimeLoop:
+    """Minimal earth2mip-style time loop: encapsulates normalization and
+    autoregressive stepping so external frameworks only see physical fields
+    and wall-clock times (ref: model_package.py:199-268, which wraps the
+    model in earth2mip.networks.Inference; this is a dependency-free
+    equivalent with the same iteration contract).
+
+    Calling ``loop(x, time)`` with physical-unit fields
+    x: (batch, n_history+1, n_channels, nlat, nlon) yields an infinite
+    sequence of (time, fields) starting with the initial condition itself.
+    """
+
+    def __init__(self, wrapper, center, scale, channel_names, time_step):
+        self.wrapper = wrapper
+        self.center = np.asarray(center, np.float32).reshape(1, 1, -1, 1, 1)
+        self.scale = np.asarray(scale, np.float32).reshape(1, 1, -1, 1, 1)
+        self.in_channel_names = self.out_channel_names = list(channel_names)
+        self.time_step = time_step
+        p = wrapper.params
+        self.n_history = p.n_history
+        self.grid_shape = (p.img_shape_x, p.img_shape_y)
+
+    def __call__(self, x, time):
+        x = (np.asarray(x, np.float32) - self.center) / self.scale
+        b, t, c, h, w = x.shape
+        while True:
+            yield time, x[:, -1] * self.scale[:, 0] + self.center[:, 0]
+            flat = jnp.asarray(x.reshape(b, t * c, h, w))
+            pred = np.asarray(self.wrapper(flat, time))
+            # roll the history window forward with the new prediction
+            x = np.concatenate([x[:, 1:], pred.reshape(b, 1, c, h, w)], axis=1)
+            time = time + self.time_step
+
+
+def load_time_loop(package, time_step_hours=None):
+    """Load a package as a TimeLoop (the metadata.json entrypoint;
+    ref: model_package.py:199-268)."""
+    import datetime
+
+    if isinstance(package, str):
+        package = LocalPackage(package)
+
+    params = ParamsBase.from_json(package.get("config.json"))
+    if params.in_channels != params.out_channels:
+        raise NotImplementedError("TimeLoop requires equal input/output channels")
+    names = [params.channel_names[i] for i in params.in_channels]
+
+    if params.normalization == "minmax":
+        lo = np.squeeze(np.load(package.get(MINS_FILE)))[params.in_channels]
+        hi = np.squeeze(np.load(package.get(MAXS_FILE)))[params.in_channels]
+        center, scale = (lo + hi) / 2, (hi - lo) / 2
+    else:
+        center = np.squeeze(np.load(package.get(MEANS_FILE)))[params.in_channels]
+        scale = np.squeeze(np.load(package.get(STDS_FILE)))[params.in_channels]
+
+    wrapper = load_model_package(package, pretrained=True)
+    hours = time_step_hours if time_step_hours is not None else params.get("dt", 6)
+    return TimeLoop(wrapper, center, scale, names, datetime.timedelta(hours=int(hours)))

@@ -335,22 +335,42 @@ class Trainer:
         # over the arrays instead would embed them as HLO constants)
         from makani_tpu.ops import sht as sht_lib
 
-        def with_tables(body, donate):
+        def with_tables(body, donate, auto_layouts=False):
             def wrapped(*args):
                 with sht_lib.provided_tables(args[-1]):
                     return body(*args[:-1])
 
             jitted = jax.jit(wrapped, donate_argnums=donate)
+            cache = {}
 
             def call(*args):
                 if self._sht_tables is None:
                     self._sht_tables = sht_lib.materialize_tables(body, *args)
-                return jitted(*args, self._sht_tables)
+                if not auto_layouts:
+                    return jitted(*args, self._sht_tables)
+                # AUTO layouts (utils/layouts.py): XLA picks the parameter/
+                # optimizer-state layouts its matmuls want; donation feeds
+                # them back each step so the relayout happens once.
+                from makani_tpu.utils import layouts as layouts_lib
+                if "exec" not in cache:
+                    full = (*args, self._sht_tables)
+                    cache["exec"], cache["fmts"] = layouts_lib.compile_with_auto_layouts(
+                        wrapped, full, donate_argnums=donate)
+                    self._sht_tables = layouts_lib.reput_tree(
+                        self._sht_tables, cache["fmts"][-1])
+                fmts = cache["fmts"]
+                args = tuple(layouts_lib.reput_tree(a, f) for a, f in zip(args, fmts[:-1]))
+                return cache["exec"](*args, self._sht_tables)
 
             return call
 
+        # AUTO layouts are a single-device optimization: under a real mesh,
+        # layouts interact with GSPMD sharding and the default convention is
+        # kept (the partitioner's collectives expect it)
+        auto_ok = bool(self.params.get("enable_auto_layouts", True)) and comm.get_world_size() == 1
+
         self._sht_tables = None
-        self.train_step = with_tables(train_step, donate=(0, 1))
+        self.train_step = with_tables(train_step, donate=(0, 1), auto_layouts=auto_ok)
         self.eval_step = with_tables(eval_step, donate=(1,))
 
         def eval_forward_body(model_params, inp, zen_inp):
