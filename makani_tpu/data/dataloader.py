@@ -28,21 +28,30 @@ logger = logging.getLogger(__name__)
 
 def init_distributed_io(params):
     """Set io grid/rank so each spatial rank reads only its lat/lon patch
-    (ref: makani/utils/dataloader.py:27-60)."""
+    (ref: makani/utils/dataloader.py:27-60).
+
+    Under the single-controller GSPMD design, host-side spatial IO sharding
+    only applies along mesh axes sharded ACROSS processes (every local device
+    of this process shares one coordinate): the process reads just that
+    patch, and Trainer._device_batch assembles the global array from the
+    per-process patches. Axes spanning devices *within* a process read fully
+    — GSPMD slices on device."""
+    import jax
     from makani_tpu.parallel import comm
 
     params["data_num_shards"] = comm.get_size("data")
     params["data_shard_id"] = comm.get_rank("data")
 
-    if comm.get_size("model") == 1:
-        params["io_grid"] = [1, 1, 1]
-        params["io_rank"] = [0, 0, 0]
-        return params
-
-    params["io_grid"] = params.get("io_grid", [1, 1, 1])
-    if len(params["io_grid"]) == 2:
-        params["io_grid"] = [1] + list(params["io_grid"])
-    params["io_rank"] = [0, comm.get_rank("h"), comm.get_rank("w")]
+    io_grid = [1, 1, 1]
+    io_rank = [0, 0, 0]
+    if comm.get_size("model") > 1 and jax.process_count() > 1:
+        for i, ax in enumerate(("h", "w")):
+            coord = comm.process_axis_coord(ax)
+            if comm.get_size(ax) > 1 and coord is not None:
+                io_grid[i + 1] = comm.get_size(ax)
+                io_rank[i + 1] = coord
+    params["io_grid"] = io_grid
+    params["io_rank"] = io_rank
     return params
 
 
@@ -198,11 +207,30 @@ def get_dataloader(params, location, train=True, final_eval=False, enable_loggin
         n_samples_per_epoch = params.n_eval_samples
 
     # single-controller semantics: params.batch_size is the per-data-rank
-    # batch (like the reference); each *process* loads its slice of the
-    # global batch and GSPMD shards it over the data mesh axis.
+    # batch (like the reference, ref: makani/utils/dataloader.py:32-33);
+    # each *process* loads the slice of the global batch owned by its local
+    # devices and Trainer._device_batch assembles the global sharded array.
+    from makani_tpu.parallel import comm
     n_data = max(params.get("data_num_shards", 1), 1)
     n_proc = jax.process_count()
-    local_batch = int(params.batch_size) * n_data // n_proc
+    global_batch = int(params.batch_size) * n_data
+    if n_proc == 1:
+        num_shards, shard_id, local_batch = 1, 0, global_batch
+    elif n_data % n_proc == 0:
+        # DP across processes: each process owns n_data/n_proc data coords
+        num_shards, shard_id = n_proc, jax.process_index()
+        local_batch = int(params.batch_size) * (n_data // n_proc)
+        assert local_batch * n_proc == global_batch
+    elif n_proc % n_data == 0 and comm.process_axis_coord("data") is not None:
+        # model axes span processes: every process sharing a data coordinate
+        # loads the SAME shard (replicated feeding, like the reference's
+        # rank-local DDP semantics where data_shard_id is the data rank)
+        num_shards, shard_id = n_data, comm.process_axis_coord("data")
+        local_batch = int(params.batch_size)
+    else:
+        raise ValueError(
+            f"Unsupported process/data factorization: {n_proc} processes, "
+            f"data axis {n_data} — data coords must not straddle processes")
 
     loader = PrefetchingLoader(
         dataset,
@@ -210,8 +238,8 @@ def get_dataloader(params, location, train=True, final_eval=False, enable_loggin
         shuffle=train,
         num_workers=params.get("num_data_workers", 2),
         n_samples_per_epoch=n_samples_per_epoch,
-        num_shards=n_proc,
-        shard_id=jax.process_index(),
+        num_shards=num_shards,
+        shard_id=shard_id,
         base_seed=params.get("global_seed", 333),
         drop_last=True,
         samples_offset=0 if train else params.get("samples_offset", 0) or 0,

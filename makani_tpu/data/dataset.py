@@ -31,6 +31,16 @@ def compute_split_shapes(size, num_chunks):
     return [chunk + 1 if i < rem else chunk for i in range(num_chunks)]
 
 
+def sharding_split_shapes(size, num_chunks):
+    """ceil-division split matching jax.sharding's uneven-shard convention:
+    shard i covers [i*ceil, min((i+1)*ceil, size)). Host-side IO windows MUST
+    use this (not compute_split_shapes, whose remainder placement differs) so
+    that multi-process patches line up exactly with GSPMD device shards when
+    Trainer._device_batch assembles the global array."""
+    chunk = -(-size // num_chunks)
+    return [max(0, min(chunk, size - i * chunk)) for i in range(num_chunks)]
+
+
 class MultifilesDataset:
     def __init__(self, params, location, train, enable_logging=True):
         self.params = params
@@ -138,8 +148,8 @@ class MultifilesDataset:
         assert self.crop_anchor[0] + self.crop_size[0] <= self.img_shape[0]
         assert self.crop_anchor[1] + self.crop_size[1] <= self.img_shape[1]
 
-        split_x = compute_split_shapes(self.crop_size[0], self.io_grid[0])
-        split_y = compute_split_shapes(self.crop_size[1], self.io_grid[1])
+        split_x = sharding_split_shapes(self.crop_size[0], self.io_grid[0])
+        split_y = sharding_split_shapes(self.crop_size[1], self.io_grid[1])
         self.read_shape = [split_x[self.io_rank[0]], split_y[self.io_rank[1]]]
         self.read_anchor = [
             self.crop_anchor[0] + sum(split_x[: self.io_rank[0]]),

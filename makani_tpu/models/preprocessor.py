@@ -50,11 +50,14 @@ class Preprocessor2D:
         # image shape (global)
         self.img_shape = (params.img_shape_x, params.img_shape_y)
 
-        # spatial shard window (serial: full image)
-        start_x = params.get("img_local_offset_x", 0)
-        end_x = min(start_x + params.get("img_local_shape_x", params.img_shape_x), params.img_shape_x)
-        start_y = params.get("img_local_offset_y", 0)
-        end_y = min(start_y + params.get("img_local_shape_y", params.img_shape_y), params.img_shape_y)
+        # crop window for static features. The reference slices each rank's
+        # LOCAL patch (ref: preprocessor.py:75-78); under GSPMD the statics
+        # are global in-graph arrays sharded by constraints, so the window is
+        # the global crop (spatial ranks never see a "local" graph shape).
+        start_x = params.get("img_crop_offset_x", 0)
+        end_x = min(start_x + params.get("img_crop_shape_x", params.img_shape_x), params.img_shape_x)
+        start_y = params.get("img_crop_offset_y", 0)
+        end_y = min(start_y + params.get("img_crop_shape_y", params.img_shape_y), params.img_shape_y)
 
         static_features = None
 

@@ -51,6 +51,11 @@ def _bootstrap_multiprocess():
     global _DIST_BOOTSTRAPPED
     if _DIST_BOOTSTRAPPED:
         return
+    if jax.distributed.is_initialized():
+        # a launcher already wired the cluster (e.g. an explicit
+        # jax.distributed.initialize in a driver script)
+        _DIST_BOOTSTRAPPED = True
+        return
     import os
     want = (
         os.environ.get("MAKANI_DISTRIBUTED", "") not in ("", "0")
@@ -105,7 +110,15 @@ def init(model_parallel_sizes: List[int] = (1, 1, 1, 1),
     axis_sizes = (data_size,) + tuple(sizes[ax] for ax in MODEL_AXES)
     axis_names = ("data",) + MODEL_AXES
 
-    if explicit_devices is None and jax.default_backend() == "tpu" and n_devices > 1:
+    if jax.process_count() > 1:
+        # multi-process: plain order with data outermost. jax.devices() is
+        # ordered by process, so this keeps each process's local devices in
+        # contiguous model-axis blocks and data riding across processes
+        # (DCN on pods) — which the host-side batch feeding
+        # (Trainer._device_batch / make_array_from_process_local_data) and
+        # the per-process loader sharding rely on.
+        dev_array = np.asarray(devices).reshape(axis_sizes)
+    elif explicit_devices is None and jax.default_backend() == "tpu" and n_devices > 1:
         # topology-aware layout: model axes ride ICI, data rides DCN
         from jax.experimental import mesh_utils
         dev_array = mesh_utils.create_device_mesh(axis_sizes, devices=devices)
@@ -190,7 +203,36 @@ def get_world_rank() -> int:
 
 
 def get_local_rank() -> int:
-    return jax.process_index()
+    """Node-local rank (the reference's DistributedManager local_rank, used
+    for per-node log gating). JAX does not expose a node concept, so this
+    reads the launcher's env (SLURM/torchrun-style); with one process per
+    host — the TPU norm — the answer is 0."""
+    import os
+    for var in ("SLURM_LOCALID", "LOCAL_RANK"):
+        if os.environ.get(var):
+            return int(os.environ[var])
+    return 0
+
+
+def process_axis_coord(name: str) -> Optional[int]:
+    """The common coordinate of ALL this process's local devices along mesh
+    axis `name`, or None if they span several coordinates.
+
+    Host-side IO may pre-slice its local batch/patch along an axis only when
+    every local device agrees on the coordinate (the axis is sharded ACROSS
+    processes); otherwise the process must feed the full extent and GSPMD
+    slices on device."""
+    if _MESH is None:
+        return 0
+    ax = list(_MESH.axis_names).index(name)
+    local_ids = {d.id for d in jax.local_devices()}
+    coords = set()
+    for idx in np.ndindex(*_MESH.devices.shape):
+        if _MESH.devices[idx].id in local_ids:
+            coords.add(int(idx[ax]))
+            if len(coords) > 1:
+                return None
+    return coords.pop() if coords else 0
 
 
 def spec(*names) -> P:

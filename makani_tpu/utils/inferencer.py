@@ -58,14 +58,15 @@ class Inferencer(Trainer):
         self.model = model_registry.get_model(params)
         self.preprocessor = self.model.preprocessor
 
-        # init then restore
+        # init then restore (global crop shapes: GSPMD programs see global
+        # logical arrays; img_local_* only governs per-process host IO)
         n_pred_chans = len(params.in_channels)
         init_inp = jnp.zeros((1, (params.n_history + 1) * n_pred_chans,
-                              params.img_local_shape_x, params.img_local_shape_y), jnp.float32)
+                              params.img_crop_shape_x, params.img_crop_shape_y), jnp.float32)
         init_zen = None
         if params.get("add_zenith", False):
             init_zen = jnp.zeros((1, params.n_history + 1, 1,
-                                  params.img_local_shape_x, params.img_local_shape_y), jnp.float32)
+                                  params.img_crop_shape_x, params.img_crop_shape_y), jnp.float32)
         variables = jax.jit(lambda key: self.model.init(
             key, init_inp, unpredicted_inp=init_zen, deterministic=True))(
             jax.random.PRNGKey(0))

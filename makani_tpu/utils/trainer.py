@@ -115,18 +115,16 @@ class Trainer:
         self.scheduler = LRScheduler(params)
 
         # init model + optimizer state (jitted: eager mode unavailable on
-        # some TPU backends)
-        inp_shape = (
-            1, params.N_in_predicted_channels // (params.n_history + 1) * (params.n_history + 1),
-            params.img_local_shape_x, params.img_local_shape_y,
-        )
+        # some TPU backends). Shapes are the GLOBAL crop shape: under the
+        # single-controller GSPMD design every jitted program sees global
+        # logical arrays (img_local_* only governs per-process host IO).
         n_pred_chans = len(params.in_channels)
         init_inp = jnp.zeros((1, (params.n_history + 1) * n_pred_chans,
-                              params.img_local_shape_x, params.img_local_shape_y), jnp.float32)
+                              params.img_crop_shape_x, params.img_crop_shape_y), jnp.float32)
         init_zen = None
         if params.get("add_zenith", False):
             init_zen = jnp.zeros((1, params.n_history + 1, 1,
-                                  params.img_local_shape_x, params.img_local_shape_y), jnp.float32)
+                                  params.img_crop_shape_x, params.img_crop_shape_y), jnp.float32)
 
         def init_fn(key):
             return self.model.init(key, init_inp, unpredicted_inp=init_zen,
@@ -382,18 +380,46 @@ class Trainer:
         self.eval_forward = with_tables(eval_forward_body, donate=())
 
     def _device_batch(self, data):
-        """Host batch -> device arrays sharded over the data axis."""
+        """Host batch -> global device arrays sharded over the data axis
+        (and spatial axes when the loader io-shards across processes).
+
+        Single process: the host array IS the global batch; device_put with a
+        NamedSharding scatters it. Multi-process: every process holds only
+        its local slice, so the global array is assembled with
+        jax.make_array_from_process_local_data (the single-controller analog
+        of the reference's rank-local DDP feeding, ref:
+        makani/utils/dataloader.py:27-60 + trainer.py:712-797)."""
         if len(data) == 4:
             inp, tar, zen_inp, zen_tar = data
         else:
             inp, tar = data
             zen_inp = zen_tar = None
-        sharding = NamedSharding(self.mesh, P("data"))
 
-        def put(x):
-            if x is None:
-                return None
-            return jax.device_put(x, sharding)
+        io_grid = self.params.get("io_grid", [1, 1, 1])
+        spec = P("data", None, None,
+                 "h" if io_grid[1] > 1 else None,
+                 "w" if io_grid[2] > 1 else None)
+        sharding = NamedSharding(self.mesh, spec)
+
+        if jax.process_count() > 1:
+            global_batch = int(self.params.batch_size) * self.data_parallel_size
+
+            def put(x):
+                if x is None:
+                    return None
+                x = np.asarray(x)
+                gshape = list(x.shape)
+                gshape[0] = global_batch
+                if io_grid[1] > 1:
+                    gshape[-2] = self.params.img_crop_shape_x
+                if io_grid[2] > 1:
+                    gshape[-1] = self.params.img_crop_shape_y
+                return jax.make_array_from_process_local_data(sharding, x, tuple(gshape))
+        else:
+            def put(x):
+                if x is None:
+                    return None
+                return jax.device_put(x, sharding)
 
         return put(inp), put(tar), put(zen_inp), put(zen_tar)
 
@@ -494,6 +520,7 @@ class Trainer:
 
         logs = {"loss": float(jax.device_get(loss)) if loss is not None else float("nan"),
                 "train_steps": train_steps}
+        self._last_train_loss = logs["loss"]
 
         train_end = time.perf_counter_ns()
         train_time = (train_end - train_start) * 1e-9
