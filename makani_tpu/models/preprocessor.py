@@ -186,6 +186,20 @@ class Preprocessor2D:
             return utar
         return jnp.concatenate([unpredicted_inp[:, 1:], utar], axis=1)
 
+    def advance_unpredicted_dyn(self, unpredicted_inp, unpredicted_tar, step):
+        """advance_unpredicted with a *traced* step index, so one compiled
+        AR-step program serves every rollout position (the reference pays no
+        compile cost for its per-step python loop, ref: trainer.py:799-890;
+        here the loop is on host over a single jitted step). Out-of-range
+        steps clamp to the last target frame (jax dynamic_slice semantics) —
+        rollouts never index past the target window."""
+        if unpredicted_tar is None or unpredicted_inp is None:
+            return unpredicted_inp
+        utar = jax.lax.dynamic_slice_in_dim(unpredicted_tar, step, 1, axis=1)
+        if self.n_history == 0:
+            return utar
+        return jnp.concatenate([unpredicted_inp[:, 1:], utar], axis=1)
+
     # --- history normalization ---
 
     def history_compute_stats(self, x):

@@ -96,11 +96,16 @@ class Inferencer(Trainer):
     # ------------------------------------------------------------------
 
     def _build_inference_steps(self):
+        """All rollouts are a host loop over ONE compiled AR step with a
+        traced rollout index — program size is independent of
+        valid_autoreg_steps (the reference's per-step python loop, ref:
+        inferencer.py:167-249; an unrolled 20x jit would not compile at
+        flagship scale)."""
         model = self.model
         prep = self.preprocessor
         loss_obj = self.loss_obj
         metrics = self.metrics
-        S = self.params.valid_autoreg_steps + 1
+        self._S = self.params.valid_autoreg_steps + 1
         sst_ch = self.sst_persistence_channels
 
         def fwd(p, inpt, uinp):
@@ -108,59 +113,84 @@ class Inferencer(Trainer):
             return model.apply({"params": p}, x, unpredicted_inp=uinp,
                                deterministic=True).astype(jnp.float32)
 
-        def rollout_metrics(p, buffers, rmse_t, rmse_s, inp, tar, zen_inp, zen_tar):
+        def metrics_step(p, buffers, rmse_t, rmse_s, inpt, uinp, tar, zen_tar, idt):
             """(ref: inferencer.py:167-206)."""
-            inpt = prep.flatten_history(inp)
-            uinp = zen_inp
-            for idt in range(S):
-                targ = prep.flatten_history(tar[:, idt: idt + 1])
-                pred = fwd(p, inpt, uinp)
-                loss = loss_obj(pred, targ, inpt, training=False)
-                buffers = metrics.update(buffers, pred, targ, loss, idt)
-                sqdif = jnp.sum((pred - targ) ** 2, axis=0)  # (C, H, W), sum over batch
-                rmse_t = rmse_t.at[idt].add(jnp.mean(sqdif, axis=(-2, -1)))
-                rmse_s = rmse_s + sqdif
-                uinp = prep.advance_unpredicted(uinp, zen_tar, idt)
-                inpt = prep.append_history(inpt, pred)
-            return buffers, rmse_t, rmse_s
+            targ = prep.flatten_history(
+                jax.lax.dynamic_slice_in_dim(tar, idt, 1, axis=1))
+            pred = fwd(p, inpt, uinp)
+            loss = loss_obj(pred, targ, inpt, training=False)
+            buffers = metrics.update(buffers, pred, targ, loss, idt)
+            sqdif = jnp.sum((pred - targ) ** 2, axis=0)  # (C, H, W), sum over batch
+            rmse_t = rmse_t.at[idt].add(jnp.mean(sqdif, axis=(-2, -1)))
+            rmse_s = rmse_s + sqdif
+            uinp = prep.advance_unpredicted_dyn(uinp, zen_tar, idt)
+            inpt = prep.append_history(inpt, pred)
+            return buffers, rmse_t, rmse_s, inpt, uinp
 
-        def rollout_capture(p, inp, tar, zen_inp, zen_tar):
-            inpt = prep.flatten_history(inp)
-            uinp = zen_inp
-            preds, targs = [], []
-            for idt in range(S):
-                targ = prep.flatten_history(tar[:, idt: idt + 1])
-                pred = fwd(p, inpt, uinp)
-                preds.append(pred)
-                targs.append(targ)
-                uinp = prep.advance_unpredicted(uinp, zen_tar, idt)
-                inpt = prep.append_history(inpt, pred)
-            return jnp.stack(preds, axis=0), jnp.stack(targs, axis=0)
+        def capture_step(p, inpt, uinp, tar, zen_tar, idt):
+            targ = prep.flatten_history(
+                jax.lax.dynamic_slice_in_dim(tar, idt, 1, axis=1))
+            pred = fwd(p, inpt, uinp)
+            uinp = prep.advance_unpredicted_dyn(uinp, zen_tar, idt)
+            inpt_next = prep.append_history(inpt, pred)
+            return pred, targ, inpt_next, uinp
 
-        def rollout_lite(p, inp, zen_inp, zen_tar):
+        def lite_step(p, inpt, uinp, zen_tar, idt):
             """(ref: inferencer.py:209-249): no targets; optional SST
-            persistence pins configured channels to the IC value."""
-            inpt = prep.flatten_history(inp)
-            uinp = zen_inp
-            preds = []
-            for idt in range(S):
-                pred = fwd(p, inpt, uinp)
-                for c in sst_ch:
-                    pred = pred.at[:, c].set(inpt[:, c])
-                preds.append(pred)
-                uinp = prep.advance_unpredicted(uinp, zen_tar, idt)
-                inpt = prep.append_history(inpt, pred)
-            return jnp.stack(preds, axis=0)
+            persistence pins configured channels to the IC value (pinning
+            each step keeps the channel at its IC value inductively)."""
+            pred = fwd(p, inpt, uinp)
+            for c in sst_ch:
+                pred = pred.at[:, c].set(inpt[:, c])
+            uinp = prep.advance_unpredicted_dyn(uinp, zen_tar, idt)
+            inpt_next = prep.append_history(inpt, pred)
+            return pred, inpt_next, uinp
 
-        self._rollout_metrics = jax.jit(rollout_metrics, donate_argnums=(1, 2, 3))
-        self._rollout_capture = jax.jit(rollout_capture)
-        self._rollout_lite = jax.jit(rollout_lite)
+        self._metrics_step = self._with_tables(metrics_step, donate=(1, 2, 3, 4, 5))
+        self._capture_step = self._with_tables(capture_step, donate=(1, 2))
+        self._lite_step = self._with_tables(lite_step, donate=(1, 2))
+        self._flatten = jax.jit(prep.flatten_history)
+
+    def _rollout_metrics(self, p, buffers, rmse_t, rmse_s, inp, tar, zen_inp, zen_tar):
+        inpt = self._flatten(inp)
+        uinp = zen_inp
+        for idt in range(self._S):
+            buffers, rmse_t, rmse_s, inpt, uinp = self._metrics_step(
+                p, buffers, rmse_t, rmse_s, inpt, uinp, tar, zen_tar, idt)
+        return buffers, rmse_t, rmse_s
+
+    def _rollout_capture(self, p, inp, tar, zen_inp, zen_tar):
+        inpt = self._flatten(inp)
+        uinp = zen_inp
+        preds, targs = [], []
+        for idt in range(self._S):
+            pred, targ, inpt, uinp = self._capture_step(
+                p, inpt, uinp, tar, zen_tar, idt)
+            preds.append(np.asarray(pred))
+            targs.append(np.asarray(targ))
+        return np.stack(preds, axis=0), np.stack(targs, axis=0)
+
+    def _rollout_lite(self, p, inp, zen_inp, zen_tar):
+        inpt = self._flatten(inp)
+        uinp = zen_inp
+        preds = []
+        for idt in range(self._S):
+            pred, inpt, uinp = self._lite_step(p, inpt, uinp, zen_tar, idt)
+            preds.append(np.asarray(pred))
+        return np.stack(preds, axis=0)
 
     def _get_batch(self, ic):
-        for i, data in enumerate(self.valid_dataloader):
-            if i == ic:
-                return self._device_batch(data)
-        raise IndexError(f"initial condition {ic} beyond dataset")
+        """Random-access initial-condition fetch: direct indexed dataset
+        reads, no loader iteration (ref capability:
+        makani/utils/dataloaders/data_loader_random_access.py)."""
+        offset = 0 if self.params.get("samples_offset", None) is None \
+            else int(self.params.samples_offset)
+        idx = offset + ic
+        if idx >= len(self.valid_dataset):
+            raise IndexError(f"initial condition {ic} beyond dataset")
+        sample = self.valid_dataset[idx]
+        batch = tuple(np.asarray(f)[None] for f in sample)
+        return self._device_batch(batch)
 
     # ------------------------------------------------------------------
     # public API (ref: inferencer.py:251-455)

@@ -310,66 +310,44 @@ class Trainer:
                 model_params, updates)
             return new_params, new_opt_state, loss / data_size
 
-        def eval_step(model_params, buffers, inp, tar, zen_inp, zen_tar):
-            """Full autoregressive rollout over the valid targets
-            (ref: trainer.py:799-890)."""
-            inpt = prep.flatten_history(inp)
-            uinp = zen_inp
-            for idt in range(valid_autoreg_steps + 1):
-                targ = prep.flatten_history(tar[:, idt: idt + 1])
-                pred_inp, _ = prepare(inpt, targ)
-                pred = model.apply(
-                    {"params": model_params}, pred_inp, unpredicted_inp=uinp,
-                    deterministic=True).astype(jnp.float32)
-                loss = loss_obj(pred, targ, inpt, training=False) / data_size
-                buffers = metrics.update(buffers, pred, targ, loss, idt)
-                uinp = prep.advance_unpredicted(uinp, zen_tar, idt)
-                inpt = prep.append_history(inpt, pred)
-            return buffers
-
-        # hoist the in-graph Legendre table scans out of the step: compute
-        # each distinct table once (ops/sht.materialize_tables) and feed the
-        # dict back as a step ARGUMENT (~30 ms/step saved on a v5e; closing
-        # over the arrays instead would embed them as HLO constants)
-        from makani_tpu.ops import sht as sht_lib
-
-        def with_tables(body, donate, auto_layouts=False):
-            def wrapped(*args):
-                with sht_lib.provided_tables(args[-1]):
-                    return body(*args[:-1])
-
-            jitted = jax.jit(wrapped, donate_argnums=donate)
-            cache = {}
-
-            def call(*args):
-                if self._sht_tables is None:
-                    self._sht_tables = sht_lib.materialize_tables(body, *args)
-                if not auto_layouts:
-                    return jitted(*args, self._sht_tables)
-                # AUTO layouts (utils/layouts.py): XLA picks the parameter/
-                # optimizer-state layouts its matmuls want; donation feeds
-                # them back each step so the relayout happens once.
-                from makani_tpu.utils import layouts as layouts_lib
-                if "exec" not in cache:
-                    full = (*args, self._sht_tables)
-                    cache["exec"], cache["fmts"] = layouts_lib.compile_with_auto_layouts(
-                        wrapped, full, donate_argnums=donate)
-                    self._sht_tables = layouts_lib.reput_tree(
-                        self._sht_tables, cache["fmts"][-1])
-                fmts = cache["fmts"]
-                args = tuple(layouts_lib.reput_tree(a, f) for a, f in zip(args, fmts[:-1]))
-                return cache["exec"](*args, self._sht_tables)
-
-            return call
+        def eval_ar_step(model_params, buffers, inpt, uinp, tar, zen_tar, idt):
+            """ONE autoregressive validation step with a traced rollout index:
+            the host loops over this single compiled program, so program size
+            is independent of valid_autoreg_steps (the reference's per-step
+            python loop, ref: trainer.py:799-890; an unrolled 20x program
+            would not compile at flagship scale)."""
+            targ = prep.flatten_history(
+                jax.lax.dynamic_slice_in_dim(tar, idt, 1, axis=1))
+            pred_inp, _ = prepare(inpt, targ)
+            pred = model.apply(
+                {"params": model_params}, pred_inp, unpredicted_inp=uinp,
+                deterministic=True).astype(jnp.float32)
+            loss = loss_obj(pred, targ, inpt, training=False) / data_size
+            buffers = metrics.update(buffers, pred, targ, loss, idt)
+            uinp = prep.advance_unpredicted_dyn(uinp, zen_tar, idt)
+            inpt = prep.append_history(inpt, pred)
+            return buffers, inpt, uinp
 
         # AUTO layouts are a single-device optimization: under a real mesh,
         # layouts interact with GSPMD sharding and the default convention is
         # kept (the partitioner's collectives expect it)
         auto_ok = bool(self.params.get("enable_auto_layouts", True)) and comm.get_world_size() == 1
 
-        self._sht_tables = None
-        self.train_step = with_tables(train_step, donate=(0, 1), auto_layouts=auto_ok)
-        self.eval_step = with_tables(eval_step, donate=(1,))
+        self.train_step = self._with_tables(train_step, donate=(0, 1), auto_layouts=auto_ok)
+        self._eval_ar_step = self._with_tables(eval_ar_step, donate=(1, 2, 3))
+        self._flatten = jax.jit(prep.flatten_history)
+
+        def eval_step(model_params, buffers, inp, tar, zen_inp, zen_tar):
+            """Host loop over the single compiled AR step — one compile
+            serves any rollout length."""
+            inpt = self._flatten(inp)
+            uinp = zen_inp
+            for idt in range(valid_autoreg_steps + 1):
+                buffers, inpt, uinp = self._eval_ar_step(
+                    model_params, buffers, inpt, uinp, tar, zen_tar, idt)
+            return buffers
+
+        self.eval_step = eval_step
 
         def eval_forward_body(model_params, inp, zen_inp):
             inpt = prep.flatten_history(inp)
@@ -377,7 +355,62 @@ class Trainer:
             return model.apply({"params": model_params}, x,
                                unpredicted_inp=zen_inp, deterministic=True).astype(jnp.float32)
 
-        self.eval_forward = with_tables(eval_forward_body, donate=())
+        self.eval_forward = self._with_tables(eval_forward_body, donate=())
+
+    def _with_tables(self, body, donate, auto_layouts=False):
+        """jit `body` with the in-graph Legendre table scans hoisted out:
+        compute each distinct table once (ops/sht.materialize_tables) and
+        feed the dict back as a step ARGUMENT (~30 ms/step saved on a v5e;
+        closing over the arrays instead would embed them as HLO constants).
+        The table dict is shared across all step functions of this engine."""
+        from makani_tpu.ops import sht as sht_lib
+
+        if not hasattr(self, "_sht_tables"):
+            self._sht_tables = None
+
+        def wrapped(*args):
+            with sht_lib.provided_tables(args[-1]):
+                return body(*args[:-1])
+
+        jitted = jax.jit(wrapped, donate_argnums=donate)
+        cache = {}
+
+        def call(*args):
+            if "keys" not in cache:
+                # record which tables THIS step fn needs; compute any the
+                # shared dict is missing. Each fn is fed only its own subset
+                # so its jit cache structure stays stable when other step
+                # fns later extend the shared dict (arrays are shared device
+                # buffers — no duplication).
+                shared = self._sht_tables or {}
+                rec = {}
+                with sht_lib.recording_tables(rec):
+                    with sht_lib.provided_tables(shared):
+                        jax.eval_shape(body, *args)
+                missing = {k: fn for k, fn in rec.items() if k not in shared}
+                if missing:
+                    new = jax.jit(lambda: {k: fn() for k, fn in missing.items()})()
+                    shared = {**shared, **new}
+                self._sht_tables = shared
+                cache["keys"] = sorted(set(rec.keys()) & set(shared.keys()))
+            tables = {k: self._sht_tables[k] for k in cache["keys"]}
+            if not auto_layouts:
+                return jitted(*args, tables)
+            # AUTO layouts (utils/layouts.py): XLA picks the parameter/
+            # optimizer-state layouts its matmuls want; donation feeds
+            # them back each step so the relayout happens once.
+            from makani_tpu.utils import layouts as layouts_lib
+            if "exec" not in cache:
+                full = (*args, tables)
+                cache["exec"], cache["fmts"] = layouts_lib.compile_with_auto_layouts(
+                    wrapped, full, donate_argnums=donate)
+                tables = layouts_lib.reput_tree(tables, cache["fmts"][-1])
+                self._sht_tables = {**self._sht_tables, **tables}
+            fmts = cache["fmts"]
+            args = tuple(layouts_lib.reput_tree(a, f) for a, f in zip(args, fmts[:-1]))
+            return cache["exec"](*args, tables)
+
+        return call
 
     def _device_batch(self, data):
         """Host batch -> global device arrays sharded over the data axis
