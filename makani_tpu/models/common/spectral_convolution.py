@@ -84,16 +84,19 @@ class SpectralConv(nn.Module):
 
         # transforms always run in f32 (ref: spectral_convolution.py:130-141)
         x = fwd_t(x)
+        from makani_tpu.parallel import spmd as _spmd
+        if _spmd.model_distributed():
+            # anchor the coefficients to the canonical layout WITH fin kept
+            # sharded on channels before fan-out to the contraction and
+            # scale_residual branches. The inverse transforms pin their input
+            # cotangents to channels-over-(fin,h); summing those under a
+            # fin-REPLICATED target would need allgather(fin)+reshard, which
+            # the SPMD partitioner only does as replicate-then-slice
+            # (involuntary full remat). With fin kept sharded the branch-
+            # cotangent add resolves to a pure (c<->l) all-to-all.
+            x = _spmd.constrain(x, "data", "fin", "h", "w")
         if scale_residual:
-            from makani_tpu.parallel import spmd as _spmd
-            xr = x
-            if _spmd.model_distributed():
-                # re-pin the coefficient layout inside this branch so its
-                # cotangent is resharded to the canonical layout BEFORE being
-                # summed with the contraction branch's (mismatched-layout
-                # add_any otherwise degenerates to replicate-then-slice)
-                xr = _spmd.constrain(xr, "data", "fin", "h", "w")
-            residual = inv_t(xr).astype(dtype)
+            residual = inv_t(x).astype(dtype)
 
         w = view_as_complex(weight)
         # Pin the complex-viewed weight to the stored layout (i/fin, l/h

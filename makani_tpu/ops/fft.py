@@ -81,6 +81,11 @@ class InverseRealFFT2:
         if spmd.spatial_distributed() and x.ndim == 4:
             from makani_tpu.ops.dft import irdft_matrices, dft_matrices
 
+            # entry anchor (canonical layout, fin kept sharded): pins the
+            # backward exit layout — see ops/sht.py InverseRealSHT; without
+            # it the SpectralConv branch-cotangent add triggers an
+            # involuntary full rematerialization in SPMD
+            xt = spmd.constrain(xt, "data", "fin", "h", "w")
             xre = spmd.constrain(jnp.real(xt), "data", ("fin", "h"), None, "w")
             xim = spmd.constrain(jnp.imag(xt), "data", ("fin", "h"), None, "w")
             # inverse lat DFT: synthesize from the kept two-sided rows only

@@ -270,6 +270,14 @@ class InverseRealSHT:
         x = x.astype(jnp.complex64)
         dist = spmd.spatial_distributed() and x.ndim == 4
 
+        if dist:
+            # entry anchor in the canonical coefficient layout (fin kept
+            # sharded): the transpose of this constraint pins the EXIT layout
+            # of the backward pass, so cotangents leave the transform
+            # canonically instead of channels-over-(fin,h) — without it, the
+            # SpectralConv branch-cotangent add degenerates to an involuntary
+            # full rematerialization (replicate-then-slice) in SPMD
+            x = spmd.constrain(x, "data", "fin", "h", "w")
         xre, xim = jnp.real(x), jnp.imag(x)
         if dist:
             # l local for the synthesis contraction, channels over h

@@ -42,14 +42,35 @@ _RULES = [
 ]
 
 
-def spec_for_path(path: str, shape) -> P:
+def _fit_spec(spec: P, shape, mesh) -> P:
+    """Drop sharding on dims the mesh axes do not divide evenly: jit/device
+    boundary shardings require divisibility (uneven tiling is only supported
+    for in-graph intermediates, where GSPMD pads). E.g. the 73-channel
+    encoder/decoder boundary dims and odd lmax dims stay replicated."""
+    if mesh is None:
+        return spec
+    entries = list(spec) + [None] * (len(shape) - len(spec))
+    out = []
+    for s, entry in zip(shape, entries):
+        if entry is None:
+            out.append(None)
+            continue
+        axes = entry if isinstance(entry, tuple) else (entry,)
+        parts = 1
+        for a in axes:
+            parts *= int(mesh.shape[a])
+        out.append(entry if s % parts == 0 else None)
+    return P(*out)
+
+
+def spec_for_path(path: str, shape, mesh=None) -> P:
     for pattern, fn in _RULES:
         if re.match(pattern, path):
             spec = fn(tuple(shape))
             # drop axes that exceed the tensor rank
             if len(spec) > len(shape):
                 spec = P(*spec[: len(shape)])
-            return spec
+            return _fit_spec(spec, shape, mesh)
     return P()
 
 
@@ -61,18 +82,29 @@ def _flatten_with_paths(tree):
     return paths, leaves, treedef
 
 
-def get_param_specs(params):
+def get_param_specs(params, mesh=None):
     """Param tree -> PartitionSpec tree (same structure)."""
+    mesh = mesh or comm.get_mesh()
     paths, leaves, treedef = _flatten_with_paths(params)
-    specs = [spec_for_path(p, l.shape) for p, l in zip(paths, leaves)]
+    specs = [spec_for_path(p, l.shape, mesh) for p, l in zip(paths, leaves)]
     return jax.tree_util.tree_unflatten(treedef, specs)
 
 
 def get_param_shardings(params, mesh=None):
     mesh = mesh or comm.get_mesh()
-    specs = get_param_specs(params)
+    specs = get_param_specs(params, mesh)
     return jax.tree.map(lambda s: NamedSharding(mesh, s), specs,
                         is_leaf=lambda x: isinstance(x, P))
+
+
+def shard_tree(tree, shardings):
+    """Reshard a pytree onto the given shardings via a jitted identity.
+
+    Unlike jax.device_put, jit out_shardings accept UNEVENLY divisible dims
+    (GSPMD pads internally) — required for e.g. 73 data channels over fin=2
+    at the encoder boundary of the flagship config. No donation: aliasing
+    across a resharding changes per-device buffer sizes and is rejected."""
+    return jax.jit(lambda t: t, out_shardings=shardings)(tree)
 
 
 def get_opt_state_shardings(opt_state, params, mesh=None):
@@ -82,7 +114,7 @@ def get_opt_state_shardings(opt_state, params, mesh=None):
     paths, leaves, _ = _flatten_with_paths(params)
     by_shape = {}
     for p, l in zip(paths, leaves):
-        by_shape.setdefault(tuple(l.shape), spec_for_path(p, l.shape))
+        by_shape.setdefault(tuple(l.shape), spec_for_path(p, l.shape, mesh))
 
     opt_paths, opt_leaves, opt_treedef = _flatten_with_paths(opt_state)
     shardings = []
@@ -91,7 +123,7 @@ def get_opt_state_shardings(opt_state, params, mesh=None):
         # moment trees repeat the param path suffix; reuse path rules first
         m = re.search(r"(model/.*)$", path)
         if m is not None and shape:
-            spec = spec_for_path(m.group(1), shape)
+            spec = spec_for_path(m.group(1), shape, mesh)
         else:
             spec = by_shape.get(shape, P()) if shape else P()
         shardings.append(NamedSharding(mesh, spec))

@@ -140,11 +140,11 @@ class Trainer:
         # gradient hooks, ref: makani/mpu/mappings.py:30-174)
         if comm.get_size("model") > 1:
             from makani_tpu.parallel.partitioning import (
-                get_opt_state_shardings, get_param_shardings)
+                get_opt_state_shardings, get_param_shardings, shard_tree)
             pshard = get_param_shardings(self.model_params, self.mesh)
-            self.model_params = jax.device_put(self.model_params, pshard)
+            self.model_params = shard_tree(self.model_params, pshard)
             oshard = get_opt_state_shardings(self.opt_state, self.model_params, self.mesh)
-            self.opt_state = jax.device_put(self.opt_state, oshard)
+            self.opt_state = shard_tree(self.opt_state, oshard)
         self.dropout_key = jax.random.PRNGKey(params.get("global_seed", 333) + 1)
 
         # counters
