@@ -203,7 +203,11 @@ def load_time_loop(package, time_step_hours=None):
     if params.normalization == "minmax":
         lo = np.squeeze(np.load(package.get(MINS_FILE)))[params.in_channels]
         hi = np.squeeze(np.load(package.get(MAXS_FILE)))[params.in_channels]
-        center, scale = (lo + hi) / 2, (hi - lo) / 2
+        # match the TRAINING normalization: loaders map minmax to [0, 1]
+        # via (x - min) / (max - min) (data/dataset.py:68). The reference's
+        # earth2mip path instead maps to [-1, 1] (ref: model_package.py:206)
+        # — a bug-for-bug mismatch with its own training loaders, fixed here.
+        center, scale = lo, hi - lo
     else:
         center = np.squeeze(np.load(package.get(MEANS_FILE)))[params.in_channels]
         scale = np.squeeze(np.load(package.get(STDS_FILE)))[params.in_channels]

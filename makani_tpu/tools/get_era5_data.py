@@ -47,13 +47,13 @@ def build_plan(output_dir, years, pressure_levels, hourly_subsample, resolution,
             path = os.path.join(base, f"sfc_{year}-{month:02d}.nc")
             plan.append((path, dict(common, levtype="sfc", param=SFC_PARAMS, date=date)))
 
+    # side-effect-free: existing files are merely marked for re-download
+    # when overwrite is set; the actual os.remove happens in main() right
+    # before each retrieve (so --dry_run --overwrite deletes nothing)
     todo = []
     for path, req in plan:
-        if os.path.isfile(path):
-            if overwrite:
-                os.remove(path)
-            else:
-                continue
+        if os.path.isfile(path) and not overwrite:
+            continue
         todo.append((path, req))
     return todo
 
@@ -79,6 +79,8 @@ def main(args):
     os.makedirs(os.path.join(args.output_dir, "raw"), exist_ok=True)
     client = cdsapi.Client()
     for path, req in plan:
+        if os.path.isfile(path):  # marked for re-download by --overwrite
+            os.remove(path)
         print(f"Downloading {os.path.basename(path)}")
         client.retrieve("reanalysis-era5-complete", req, path)
     print("Done!")

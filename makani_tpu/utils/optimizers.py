@@ -73,6 +73,12 @@ class LRScheduler:
         self.step_size = int(params.get("scheduler_step_size", 100))
         self.gamma = float(params.get("scheduler_gamma", 0.5))
         self.max_epochs = int(params.get("max_epochs", 1))
+        # torch OneCycleLR knobs (defaults = torch defaults), so reference
+        # recipes reproduce exactly (ref: trainer.py:497-499 uses
+        # total_steps=scheduler_T_max, stepped per epoch)
+        self.pct_start = float(params.get("scheduler_pct_start", 0.3))
+        self.div_factor = float(params.get("scheduler_div_factor", 25.0))
+        self.final_div_factor = float(params.get("scheduler_final_div_factor", 1e4))
 
         # plateau state
         self._plateau_scale = 1.0
@@ -103,12 +109,24 @@ class LRScheduler:
             t = min(self.epoch, self.T_max)
             return 0.5 * self.base_lr * (1 + math.cos(math.pi * t / self.T_max))
         elif self.scheduler == "OneCycleLR":
-            # cosine one-cycle over max_epochs with 30% rampup (torch default pct_start=0.3)
-            pct = min(self.epoch / max(self.max_epochs, 1), 1.0)
-            if pct < 0.3:
-                return self.base_lr * (0.04 + 0.96 * pct / 0.3)
-            dec = (pct - 0.3) / 0.7
-            return self.base_lr * (0.5 * (1 + math.cos(math.pi * dec)))
+            # exact torch.optim.lr_scheduler.OneCycleLR semantics with
+            # anneal_strategy="cos" (ref: trainer.py:497-499:
+            # OneCycleLR(max_lr=lr, total_steps=scheduler_T_max), stepped
+            # per epoch). initial = max/div_factor, min = initial/final_div.
+            total = max(self.T_max, 1)
+            initial_lr = self.base_lr / self.div_factor
+            min_lr = initial_lr / self.final_div_factor
+            up_steps = float(self.pct_start * total) - 1.0
+            down_steps = float(total - up_steps - 1.0)
+
+            def anneal_cos(start, end, pct):
+                return end + (start - end) / 2.0 * (1.0 + math.cos(math.pi * pct))
+
+            step_num = min(self.epoch, total - 1)
+            if up_steps > 0 and step_num <= up_steps:
+                return anneal_cos(initial_lr, self.base_lr, step_num / up_steps)
+            return anneal_cos(self.base_lr, min_lr,
+                              (step_num - up_steps) / max(down_steps, 1.0))
         elif self.scheduler in ("none", None, "None"):
             return self.base_lr
         raise ValueError(f"Scheduler {self.scheduler} not known")

@@ -398,12 +398,24 @@ class Trainer:
                 return jitted(*args, tables)
             # AUTO layouts (utils/layouts.py): XLA picks the parameter/
             # optimizer-state layouts its matmuls want; donation feeds
-            # them back each step so the relayout happens once.
+            # them back each step so the relayout happens once. The AOT
+            # executable is keyed on the args' shape/dtype/None structure
+            # (unlike jax.jit it cannot re-specialize itself), so a shape
+            # change compiles a fresh executable instead of crashing.
             from makani_tpu.utils import layouts as layouts_lib
-            if "exec" not in cache:
+
+            def signature(tree):
+                leaves, treedef = jax.tree_util.tree_flatten(tree)
+                return (treedef, tuple(
+                    (getattr(l, "shape", None), str(getattr(l, "dtype", type(l))))
+                    for l in leaves))
+
+            sig = signature(args)
+            if cache.get("sig") != sig:
                 full = (*args, tables)
                 cache["exec"], cache["fmts"] = layouts_lib.compile_with_auto_layouts(
                     wrapped, full, donate_argnums=donate)
+                cache["sig"] = sig
                 tables = layouts_lib.reput_tree(tables, cache["fmts"][-1])
                 self._sht_tables = {**self._sht_tables, **tables}
             fmts = cache["fmts"]

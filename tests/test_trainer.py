@@ -173,3 +173,44 @@ def test_build_optimizer_epsilon_factor():
         return float(jnp.abs(upd["w"]).max())
 
     assert step_norm(0.0) > 100 * step_norm(12.0)
+
+
+def test_trainer_auto_layouts_serial(tmp_path):
+    """The AUTO-layouts AOT path (default-on for real single-chip runs):
+    a 1-device mesh with enable_auto_layouts=True must train 2 epochs (the
+    second reusing the cached executable) and produce the same losses as
+    the plain jit path (ADVICE r1: this branch was untested in CI)."""
+    from makani_tpu.utils.trainer import Trainer
+
+    losses = {}
+    for auto in (False, True):
+        params = _trainer_params(tmp_path, enable_auto_layouts=auto,
+                                 max_epochs=2, scheduler="none")
+        trainer = Trainer(params, world_rank=0)
+        assert trainer.params.get("enable_auto_layouts") is auto
+        trainer.train()
+        assert trainer.iters == 8  # 2 epochs x 4 steps: cache was reused
+        losses[auto] = trainer._last_train_loss
+    np.testing.assert_allclose(losses[True], losses[False], rtol=1e-4)
+
+
+def test_one_cycle_lr_matches_torch():
+    """Exact torch OneCycleLR semantics (ref: trainer.py:497-499)."""
+    import torch
+    from makani_tpu.utils.optimizers import LRScheduler
+
+    T = 17
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.SGD([p], lr=1.0)
+    sched = torch.optim.lr_scheduler.OneCycleLR(
+        opt, max_lr=2e-3, total_steps=T, steps_per_epoch=1)
+
+    params = get_default_parameters()
+    params.update_params({"lr": 2e-3, "scheduler": "OneCycleLR",
+                          "scheduler_T_max": T, "lr_warmup_steps": 0})
+    ours = LRScheduler(params)
+    for epoch in range(T):
+        np.testing.assert_allclose(ours(10**6), opt.param_groups[0]["lr"],
+                                   rtol=1e-10, err_msg=f"epoch {epoch}")
+        sched.step()
+        ours.epoch_step()
