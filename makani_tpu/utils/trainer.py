@@ -155,6 +155,8 @@ class Trainer:
         # compile steps
         self._build_steps()
 
+        self._log_memory("after model and optimizer init")
+
         # restore checkpoint for resume/finetune (ref: trainer.py:586-608)
         if params.get("resuming", False):
             self.restore_checkpoint(params.checkpoint_path)
@@ -357,6 +359,23 @@ class Trainer:
 
         self.eval_forward = self._with_tables(eval_forward_body, donate=())
 
+        def grad_step(model_params, inp, tar, zen_inp, zen_tar):
+            """Loss + raw gradients for the weights-and-grads debug dump
+            (ref: trainer.py:1222-1240)."""
+            inp = prep.flatten_history(inp)
+            tar = prep.flatten_history(tar)
+            inp, tar = prepare(inp, tar)
+
+            def loss_fn(p):
+                pred = model.apply(
+                    {"params": p}, inp, unpredicted_inp=zen_inp,
+                    unpredicted_tar=zen_tar, deterministic=True)
+                return loss_obj(pred.astype(jnp.float32), tar, inp, training=True)
+
+            return jax.value_and_grad(loss_fn)(model_params)
+
+        self._grad_step = self._with_tables(grad_step, donate=())
+
     def _with_tables(self, body, donate, auto_layouts=False):
         """jit `body` with the in-graph Legendre table scans hoisted out:
         compute each distinct table once (ops/sht.materialize_tables) and
@@ -478,9 +497,17 @@ class Trainer:
         training_start = time.time()
         best_valid_loss = 1.0e6
 
+        self._log_memory("training start")
+        dump_every = int(self.params.log_weights_and_grads or 0)
+
         for epoch in range(self.startEpoch, self.params.max_epochs):
             epoch_start = time.time()
             train_time, train_data_gb, train_logs = self.train_one_epoch()
+            self._log_memory(f"epoch {self.epoch} train end")
+
+            if dump_every > 0 and (self.epoch % dump_every == 0) \
+                    and getattr(self, "_dump_batch", None) is not None:
+                self.dump_weights_and_grads(self._dump_batch)
 
             if not self.params.skip_validation:
                 valid_time, viz_time, valid_logs = self.validate_one_epoch(epoch)
@@ -490,7 +517,11 @@ class Trainer:
 
             self.scheduler.epoch_step(valid_logs["base"].get("validation loss"))
 
-            if (self.data_parallel_rank == 0) and (self.params.save_checkpoint != "none"):
+            # every process participates (orbax coordinates primary-host
+            # writes itself — unlike the reference's rank-0 gate, gating here
+            # would deadlock multi-process runs); writes are async so the
+            # next epoch overlaps the persist
+            if self.params.save_checkpoint != "none":
                 self.save_checkpoint(self.params.checkpoint_path)
                 best_path = self.params.best_checkpoint_path
                 best_saved = ckpt_lib.checkpoint_exists(best_path)
@@ -512,6 +543,11 @@ class Trainer:
             }
             self.log_epoch(train_logs, valid_logs, timing_logs)
 
+        # drain in-flight async checkpoint writes before returning
+        if getattr(self, "_ckpt_mgr", None) is not None:
+            self._ckpt_mgr.wait()
+        ckpt_lib.wait_for_saves()
+
         if self.log_to_screen:
             logger.info("Total training time is {:.2f} sec".format(time.time() - training_start))
 
@@ -530,12 +566,16 @@ class Trainer:
             profile_dir = os.path.join(self.params.get("experiment_dir", "."), "profile")
             jax.profiler.start_trace(profile_dir)
 
+        dump_every = int(self.params.log_weights_and_grads or 0)
+
         for data in self.train_dataloader:
             train_steps += 1
             self.iters += 1
 
             inp, tar, zen_inp, zen_tar = self._device_batch(data)
             total_data_bytes += sum(0 if x is None else x.size * 4 for x in data)
+            if dump_every > 0:
+                self._dump_batch = (inp, tar, zen_inp, zen_tar)
 
             lr = jnp.float32(self.scheduler(self.iters))
             rng = jax.random.fold_in(self.dropout_key, self.iters)
@@ -606,6 +646,47 @@ class Trainer:
         return valid_time, viz_time, logs
 
     # ------------------------------------------------------------------
+    # observability
+
+    def _log_memory(self, tag):
+        """Device-memory telemetry at phase boundaries (the reference's
+        pynvml prints, ref: trainer.py:307-310,614-616). CPU devices report
+        no stats; that is silently skipped."""
+        if not self.log_to_screen:
+            return
+        try:
+            stats = jax.local_devices()[0].memory_stats()
+        except Exception:
+            stats = None
+        if stats:
+            used = stats.get("bytes_in_use", 0) / 2**30
+            peak = stats.get("peak_bytes_in_use", stats.get("bytes_in_use", 0)) / 2**30
+            limit = stats.get("bytes_limit", 0) / 2**30
+            logger.info(
+                f"Device memory [{tag}]: {used:.2f} GB in use, "
+                f"{peak:.2f} GB peak, {limit:.2f} GB limit")
+
+    def dump_weights_and_grads(self, batch):
+        """npz dump of every parameter and its gradient on the given batch
+        (ref: trainer.py:1222-1240 per-mp-rank torch.save dumps)."""
+        inp, tar, zen_inp, zen_tar = batch
+        _, grads = self._grad_step(self.model_params, inp, tar, zen_inp, zen_tar)
+        out = {}
+        wflat, _ = jax.tree_util.tree_flatten_with_path(self.model_params)
+        gflat, _ = jax.tree_util.tree_flatten_with_path(grads)
+        for (kp, w), (_, g) in zip(wflat, gflat):
+            path = "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in kp)
+            out[f"weights/{path}"] = np.asarray(w)
+            out[f"grads/{path}"] = np.asarray(g)
+        dump_dir = os.path.join(self.params.get("experiment_dir", "."), "weights_and_grads")
+        os.makedirs(dump_dir, exist_ok=True)
+        fname = os.path.join(
+            dump_dir, f"weights_and_grads_epoch{self.epoch}_rank{comm.get_world_rank()}.npz")
+        np.savez(fname, **out)
+        if self.log_to_screen:
+            logger.info(f"weights and grads dumped to {fname}")
+
+    # ------------------------------------------------------------------
     # logging / checkpointing
 
     def log_epoch(self, train_logs, valid_logs, timing_logs):
@@ -651,8 +732,19 @@ class Trainer:
     def save_checkpoint(self, checkpoint_path, checkpoint_mode=None):
         counters = {"iters": self.iters, "epoch": self.epoch,
                     "scheduler_epoch": self.scheduler.epoch}
-        ckpt_lib.save_checkpoint(checkpoint_path, self.model_params,
-                                 self.opt_state, counters)
+        if checkpoint_path == self.params.checkpoint_path:
+            # per-epoch training checkpoints: versioned async manager with
+            # keep-N retention (ref behavior: per-epoch ckpt + resume,
+            # trainer.py:666-673 — plus history the reference lacks)
+            if getattr(self, "_ckpt_mgr", None) is None:
+                self._ckpt_mgr = ckpt_lib.TrainingCheckpointer(
+                    checkpoint_path,
+                    max_to_keep=int(self.params.get("checkpoint_max_to_keep", 3)))
+            self._ckpt_mgr.save(self.epoch, self.model_params, self.opt_state, counters)
+        else:
+            # best checkpoint: single-dir layout, async overwrite
+            ckpt_lib.save_checkpoint(checkpoint_path, self.model_params,
+                                     self.opt_state, counters)
 
     def restore_checkpoint(self, checkpoint_path, load_optimizer=None, load_counters=None):
         load_optimizer = self.params.get("load_optimizer", True) if load_optimizer is None else load_optimizer

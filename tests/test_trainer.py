@@ -214,3 +214,22 @@ def test_one_cycle_lr_matches_torch():
                                    rtol=1e-10, err_msg=f"epoch {epoch}")
         sched.step()
         ours.epoch_step()
+
+
+def test_log_weights_and_grads_dump(tmp_path):
+    """log_weights_and_grads=N dumps npz weight+grad tensors every N epochs
+    (ref: trainer.py:1222-1240)."""
+    from makani_tpu.utils.trainer import Trainer
+
+    params = _trainer_params(tmp_path, log_weights_and_grads=1)
+    trainer = Trainer(params, world_rank=0)
+    trainer.train()
+
+    dump_dir = os.path.join(params.experiment_dir, "weights_and_grads")
+    files = os.listdir(dump_dir)
+    assert len(files) == 1
+    data = np.load(os.path.join(dump_dir, files[0]))
+    wkeys = [k for k in data.files if k.startswith("weights/")]
+    gkeys = [k for k in data.files if k.startswith("grads/")]
+    assert len(wkeys) == len(gkeys) > 0
+    assert all(np.isfinite(data[k]).all() for k in gkeys)
