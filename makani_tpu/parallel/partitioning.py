@@ -36,9 +36,36 @@ _RULES = [
      else P("fin", None, "h", None)),
     # 1x1 skips: out over fin (keeps embed layout), in replicated
     (r".*(inner_skip|outer_skip)/weight$", lambda s: P("fin", None)),
-    # direct position embedding: spatial dims over h/w
-    (r".*pos_embed$", lambda s: P(None, None, "h", "w")),
+    # direct position embedding: SFNO (1, C, H, W) -> spatial dims over h/w;
+    # ViT/AFNO token layout (1, N, C) -> embed dim over fin
+    (r".*pos_embed$", lambda s: P(None, None, "h", "w") if len(s) == 4
+     else P(None, None, "fin")),
     (r".*pos_embed_[rc]$", lambda s: P(None, None, "h", "w")),
+    # --- ViT head-parallel attention (ref: makani/mpu/layers.py:454-524:
+    # qkv column-parallel with heads over the matmul group, proj
+    # row-parallel). flax Dense kernels are (in, out): embed activations
+    # live on fin, heads/hidden ride fout, proj/fc2 contract fout back
+    # (GSPMD inserts the psum = reduce_from_parallel_region).
+    (r".*attn/qkv/kernel$", lambda s: P("fin", "fout")),
+    (r".*attn/qkv/bias$", lambda s: P("fout")),
+    (r".*attn/proj/kernel$", lambda s: P("fout", "fin")),
+    (r".*attn/proj/bias$", lambda s: P("fin")),
+    (r".*mlp_fc1/kernel$", lambda s: P("fin", "fout")),
+    (r".*mlp_fc1/bias$", lambda s: P("fout")),
+    (r".*mlp_fc2/kernel$", lambda s: P("fout", "fin")),
+    (r".*mlp_fc2/bias$", lambda s: P("fin")),
+    (r".*head/kernel$", lambda s: P("fin", None)),
+    # --- PatchEmbed (ref: DistributedPatchEmbed, layers.py:404-451):
+    # conv weight (embed, in_chans, ph, pw) — embed channels over fin
+    (r".*patch_embed/weight$", lambda s: P("fin")),
+    (r".*patch_embed/bias$", lambda s: P("fin")),
+    # --- AFNO v2 block-diagonal spectral MLP (ref: DistributedAFNO2Dv2,
+    # layers.py:544-643): blocks split over fin, matching the channel
+    # layout c = num_blocks * block_size sharded over fin
+    (r".*filter/w[12]$", lambda s: P("fin")),
+    (r".*filter/b[12]$", lambda s: P(None, "fin")),
+    (r".*skip_weight$", lambda s: P("fin", None)),
+    (r".*head_weight$", lambda s: P(None, "fin")),
 ]
 
 

@@ -43,6 +43,17 @@ class MetricsHandler:
         self.N_out_channels = params.N_out_channels
         self.valid_autoreg_steps = params.valid_autoreg_steps
 
+        # split_data_channels: shard the data-channel dim of the metric
+        # compute + buffers over the matmul (fin x fout) axes (ref:
+        # makani/train.py:51, trainer.py:92-95, metric.py:87-91,222-243).
+        # Under GSPMD this is expressed as in-graph channel-sharding
+        # constraints; the reference's explicit channel-shard all-gather in
+        # finalize (metric.py:222-243) happens implicitly when the global
+        # buffers are fetched to host.
+        from makani_tpu.parallel import comm as _comm
+        self.split_data_channels = bool(params.get("split_data_channels", False)) \
+            and _comm.get_size("matmul") > 1
+
         self.mult = np.asarray(mult, dtype=np.float32).reshape(-1)  # (C,) denorm scale
         self.clim = np.asarray(clim, dtype=np.float32)[None]  # (1, C, H, W)
 
@@ -84,12 +95,28 @@ class MetricsHandler:
         clim = jnp.asarray(self.clim, dtype=prediction.dtype)
         mult = jnp.asarray(self.mult)
 
+        if self.split_data_channels:
+            from makani_tpu.parallel import spmd
+            # per-channel metric compute runs channel-sharded over matmul
+            prediction = spmd.constrain(prediction, "data", ("fin", "fout"), "h", "w")
+            target = spmd.constrain(target, "data", ("fin", "fout"), "h", "w")
+            clim = spmd.constrain(clim, None, ("fin", "fout"), "h", "w")
+
         acc = self.acc_handle(prediction - clim, target - clim)
         rmse = mult * jnp.sum(self.rmse_handle(prediction, target), axis=0)
+
+        if self.split_data_channels:
+            from makani_tpu.parallel import spmd
+            acc = spmd.constrain(acc, ("fin", "fout"))
+            rmse = spmd.constrain(rmse, ("fin", "fout"))
 
         buffers = dict(buffers)
         buffers["acc_curve"] = buffers["acc_curve"].at[:, idt].add(acc)
         buffers["rmse_curve"] = buffers["rmse_curve"].at[:, idt].add(rmse)
+        if self.split_data_channels:
+            from makani_tpu.parallel import spmd
+            buffers["acc_curve"] = spmd.constrain(buffers["acc_curve"], ("fin", "fout"), None)
+            buffers["rmse_curve"] = spmd.constrain(buffers["rmse_curve"], ("fin", "fout"), None)
         buffers["acc_counter"] = buffers["acc_counter"].at[idt].add(1.0)
 
         first = jnp.asarray(idt == 0, jnp.float32)

@@ -311,3 +311,132 @@ def test_opt_state_shardings_mirror_params():
         assert matched >= 2 * nontrivial > 0
     finally:
         comm.reset()
+
+
+def test_split_data_channels_matches_unsplit(tmp_path):
+    """split_data_channels shards the metric channel dim over matmul
+    (ref: makani/train.py:51, metric.py:87-91,222-243): validation metrics
+    must be identical with the flag on and off on a (data=2, fin=2, fout=2)
+    mesh."""
+    import sys
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    from testutils import get_default_parameters, init_dataset
+    from makani_tpu.utils.trainer import Trainer
+
+    results = {}
+    for split in (False, True):
+        comm.reset()
+        comm.init(model_parallel_sizes=[1, 1, 2, 2], devices=jax.devices()[:8])
+        try:
+            params = get_default_parameters()
+            params.nettype = "SFNO"
+            params.update_params({
+                "embed_dim": 16, "num_layers": 2, "scale_factor": 2,
+                "use_mlp": True, "mlp_ratio": 2.0, "activation_function": "gelu",
+                "pos_embed": "none", "operator_type": "dhconv", "filter_type": "linear",
+                "normalization_layer": "instance_norm", "loss": "geometric l2",
+                "lr": 1e-4, "batch_size": 1, "max_epochs": 1,
+                "n_train_samples_per_epoch": 2, "n_eval_samples": 2,
+                "valid_autoreg_steps": 1, "scheduler": "none",
+                "optimizer_type": "Adam", "save_checkpoint": "none",
+                "enable_synthetic_data": True,
+                "split_data_channels": split,
+            })
+            params = init_dataset(str(tmp_path), params, n_samples_per_year=8, n_years=1)
+            params["experiment_dir"] = str(tmp_path / f"exp{split}")
+            params["checkpoint_path"] = str(tmp_path / f"exp{split}" / "ckpt")
+            params["best_checkpoint_path"] = str(tmp_path / f"exp{split}" / "best")
+
+            trainer = Trainer(params, world_rank=0)
+            assert trainer.metrics.split_data_channels is split
+            trainer.train()
+            results[split] = trainer.metrics.logs
+        finally:
+            comm.reset()
+
+    base_on, base_off = results[True]["base"], results[False]["base"]
+    np.testing.assert_allclose(base_on["validation loss"], base_off["validation loss"], rtol=1e-5)
+    np.testing.assert_allclose(base_on["validation L1"], base_off["validation L1"], rtol=1e-5)
+    for key, val in results[False]["metrics"].items():
+        if np.isscalar(val):
+            np.testing.assert_allclose(results[True]["metrics"][key], val,
+                                       rtol=1e-4, err_msg=key)
+
+
+def test_tensor_parallel_vit_matches_serial():
+    """Head-parallel ViT attention + MLP under (data=2, fin=2, fout=2):
+    params sharded per the partitioning rules must reproduce serial outputs
+    (ref: makani/mpu/layers.py:454-524 DistributedAttention)."""
+    from makani_tpu.models.networks.vit import VisionTransformer
+    from makani_tpu.parallel.partitioning import get_param_shardings, shard_tree
+
+    model = VisionTransformer(
+        inp_shape=(16, 32), patch_size=(4, 4), inp_chans=3, out_chans=3,
+        embed_dim=32, depth=2, num_heads=4)
+
+    rng = np.random.RandomState(5)
+    x = rng.randn(2, 3, 16, 32).astype(np.float32)
+
+    comm.reset()
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), jnp.asarray(x))
+    y_serial = np.asarray(jax.jit(
+        lambda v, a: model.apply(v, a, deterministic=True))(variables, jnp.asarray(x)))
+
+    comm.init(model_parallel_sizes=[1, 1, 2, 2], devices=jax.devices()[:8])
+    try:
+        mesh = comm.get_mesh()
+        shardings = get_param_shardings(variables["params"], mesh)
+        # the rules must actually shard the attention weights
+        qkv_specs = [s.spec for p, s in
+                     zip(*[["/".join(str(getattr(k, "key", k)) for k in kp)
+                            for kp, _ in jax.tree_util.tree_flatten_with_path(shardings)[0]],
+                           jax.tree.leaves(shardings)])
+                     if "qkv/kernel" in p]
+        assert all(s == P("fin", "fout") for s in qkv_specs) and qkv_specs
+
+        vshard = {"params": shard_tree(variables["params"], shardings)}
+        xd = jax.device_put(x, NamedSharding(mesh, P("data")))
+        y_tp = np.asarray(jax.jit(
+            lambda v, a: model.apply(v, a, deterministic=True))(vshard, xd))
+    finally:
+        comm.reset()
+
+    np.testing.assert_allclose(y_tp, y_serial, rtol=2e-4, atol=2e-4)
+
+
+def test_tensor_parallel_afno_matches_serial():
+    """Block-split AFNO v2 under (data=2, fin=2): params sharded per the
+    partitioning rules must reproduce serial outputs
+    (ref: makani/mpu/layers.py:544-643 DistributedAFNO2Dv2)."""
+    from makani_tpu.models.networks.afnonet_v2 import AdaptiveFourierNeuralOperatorNet
+    from makani_tpu.parallel.partitioning import get_param_shardings, shard_tree
+
+    model = AdaptiveFourierNeuralOperatorNet(
+        inp_shape=(16, 32), patch_size=(4, 4), inp_chans=3, out_chans=3,
+        embed_dim=32, num_layers=2, num_blocks=8)
+
+    rng = np.random.RandomState(6)
+    x = rng.randn(2, 3, 16, 32).astype(np.float32)
+
+    comm.reset()
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), jnp.asarray(x))
+    y_serial = np.asarray(jax.jit(
+        lambda v, a: model.apply(v, a, deterministic=True))(variables, jnp.asarray(x)))
+
+    comm.init(model_parallel_sizes=[1, 1, 2, 1], devices=jax.devices()[:4])
+    try:
+        mesh = comm.get_mesh()
+        shardings = get_param_shardings(variables["params"], mesh)
+        flat, _ = jax.tree_util.tree_flatten_with_path(shardings)
+        w1_specs = [s.spec for kp, s in flat
+                    if "/".join(str(getattr(k, "key", k)) for k in kp).endswith("filter/w1")]
+        assert w1_specs and all(s[0] == "fin" for s in w1_specs)
+
+        vshard = {"params": shard_tree(variables["params"], shardings)}
+        xd = jax.device_put(x, NamedSharding(mesh, P("data")))
+        y_tp = np.asarray(jax.jit(
+            lambda v, a: model.apply(v, a, deterministic=True))(vshard, xd))
+    finally:
+        comm.reset()
+
+    np.testing.assert_allclose(y_tp, y_serial, rtol=2e-4, atol=2e-4)
