@@ -178,4 +178,60 @@ int loader_read_window(void* handle, int file_idx, int64_t sample_start,
   return pread_full(L->fds[file_idx], out, n_window * L->sample_bytes, off);
 }
 
+// Read a channel/spatial subwindow of a window of samples: for each of
+// n_window consecutive samples starting at sample_start, read channels
+// chans[0..n_chan) rows [x0, x0+nx) cols [y0, y0+ny) of the (C, H, W)
+// float32 sample into out (n_window, n_chan, nx, ny). This is the
+// io-sharded read path (each spatial rank reads only its lat/lon patch;
+// ref capability: dali_es_helper_2d.py:276-285,494-501) and the
+// channel-subset path (in_channels/out_channels selections read only the
+// requested channels instead of slicing in numpy afterwards).
+// Parallelized per (sample, channel) across the thread pool; full-width
+// windows collapse to one contiguous pread per channel.
+int loader_read_subwindow(void* handle, int file_idx, int64_t sample_start,
+                          int64_t n_window, const int* chans, int n_chan,
+                          int64_t H, int64_t W, int64_t x0, int64_t nx,
+                          int64_t y0, int64_t ny, char* out) {
+  Loader* L = static_cast<Loader*>(handle);
+  const int64_t item = 4;  // float32
+  const int64_t row_bytes = W * item;
+  const int64_t chan_bytes = H * row_bytes;
+  const int64_t out_chan_bytes = nx * ny * item;
+
+  int total = static_cast<int>(n_window) * n_chan;
+  std::atomic<int> remaining(total);
+  std::atomic<int> error(0);
+  std::mutex mu;
+  std::condition_variable cv;
+
+  for (int64_t s = 0; s < n_window; ++s) {
+    for (int c = 0; c < n_chan; ++c) {
+      L->pool->submit([=, &remaining, &error, &mu, &cv] {
+        int64_t base = total_offset(L, file_idx, sample_start + s) +
+                       (int64_t)chans[c] * chan_bytes + x0 * row_bytes +
+                       y0 * item;
+        char* dst = out + (s * n_chan + c) * out_chan_bytes;
+        int rc = 0;
+        if (ny == W && y0 == 0) {
+          rc = pread_full(L->fds[file_idx], dst, nx * row_bytes, base);
+        } else {
+          for (int64_t r = 0; r < nx && rc == 0; ++r) {
+            rc = pread_full(L->fds[file_idx], dst + r * ny * item, ny * item,
+                            base + r * row_bytes);
+          }
+        }
+        if (rc != 0) error.store(1);
+        if (remaining.fetch_sub(1) == 1) {
+          std::unique_lock<std::mutex> lock(mu);
+          cv.notify_one();
+        }
+      });
+    }
+  }
+
+  std::unique_lock<std::mutex> lock(mu);
+  cv.wait(lock, [&remaining] { return remaining.load() == 0; });
+  return error.load();
+}
+
 }  // extern "C"

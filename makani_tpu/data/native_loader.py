@@ -66,6 +66,12 @@ def get_lib():
         lib.loader_read_window.argtypes = [
             ctypes.c_void_p, ctypes.c_int, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_char_p]
+        lib.loader_read_subwindow.restype = ctypes.c_int
+        lib.loader_read_subwindow.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_char_p]
         _LIB = lib
     return _LIB
 
@@ -152,6 +158,21 @@ class NativeReader:
             raise IOError("native window read failed")
         return out
 
+    def read_subwindow(self, file_idx, start, count, chans, x0, nx, y0, ny):
+        """Read `count` consecutive samples' (chans, x0:x0+nx, y0:y0+ny)
+        patches -> (count, len(chans), nx, ny). The io-sharded/channel-
+        subset read path."""
+        chans = np.asarray(chans, dtype=np.int32)
+        C, H, W = self.sample_shape
+        out = np.empty((count, len(chans), nx, ny), dtype=np.float32)
+        c_chans = chans.ctypes.data_as(ctypes.POINTER(ctypes.c_int))
+        rc = self._lib.loader_read_subwindow(
+            self._handle, file_idx, start, count, c_chans, len(chans),
+            H, W, x0, nx, y0, ny, out.ctypes.data_as(ctypes.c_char_p))
+        if rc != 0:
+            raise IOError("native subwindow read failed")
+        return out
+
     def __del__(self):
         if getattr(self, "_handle", None):
             self._lib.loader_destroy(self._handle)
@@ -189,40 +210,114 @@ class BinaryDataset:
         self.year_offsets.insert(0, 0)
         self.n_samples_total = sum(self.n_samples_year)
 
+        # crops and io-sharded read windows (mirrors data/dataset.py:134-159;
+        # ref: dali_es_helper_2d.py:276-285,494-501)
+        from makani_tpu.data.dataset import sharding_split_shapes
+        crop_size = [params.get("crop_size_x", None) or self.img_shape[0],
+                     params.get("crop_size_y", None) or self.img_shape[1]]
+        crop_anchor = [params.get("crop_anchor_x", 0), params.get("crop_anchor_y", 0)]
+        assert crop_anchor[0] + crop_size[0] <= self.img_shape[0]
+        assert crop_anchor[1] + crop_size[1] <= self.img_shape[1]
+        io_grid = list(params.get("io_grid", [1, 1, 1]))[-2:]
+        io_rank = list(params.get("io_rank", [0, 0, 0]))[-2:]
+        split_x = sharding_split_shapes(crop_size[0], io_grid[0])
+        split_y = sharding_split_shapes(crop_size[1], io_grid[1])
+        self.read_shape = [split_x[io_rank[0]], split_y[io_rank[1]]]
+        self.read_anchor = [crop_anchor[0] + sum(split_x[: io_rank[0]]),
+                            crop_anchor[1] + sum(split_y[: io_rank[1]])]
+
         # compat properties
         self.img_shape_x, self.img_shape_y = self.img_shape
-        self.img_crop_shape_x, self.img_crop_shape_y = self.img_shape
-        self.img_crop_offset_x = self.img_crop_offset_y = 0
-        self.img_local_shape_x, self.img_local_shape_y = self.img_shape
-        self.img_local_offset_x = self.img_local_offset_y = 0
+        self.img_crop_shape_x, self.img_crop_shape_y = crop_size
+        self.img_crop_offset_x, self.img_crop_offset_y = crop_anchor
+        self.img_local_shape_x, self.img_local_shape_y = self.read_shape
+        self.img_local_offset_x, self.img_local_offset_y = self.read_anchor
 
-        # normalization
+        # normalization (separate input/output stats — out_channels may
+        # differ from in_channels)
         if params.normalization == "zscore":
-            self.in_bias = np.load(params.global_means_path)[:, self.in_channels]
-            self.in_scale = np.load(params.global_stds_path)[:, self.in_channels]
+            means = np.load(params.global_means_path)
+            stds = np.load(params.global_stds_path)
+            self.in_bias, self.in_scale = means[:, self.in_channels], stds[:, self.in_channels]
+            self.out_bias, self.out_scale = means[:, self.out_channels], stds[:, self.out_channels]
         elif params.normalization == "minmax":
-            self.in_bias = np.load(params.min_path)[:, self.in_channels]
-            self.in_scale = np.load(params.max_path)[:, self.in_channels] - self.in_bias
+            mins = np.load(params.min_path)
+            maxs = np.load(params.max_path)
+            self.in_bias = mins[:, self.in_channels]
+            self.in_scale = maxs[:, self.in_channels] - self.in_bias
+            self.out_bias = mins[:, self.out_channels]
+            self.out_scale = maxs[:, self.out_channels] - self.out_bias
         else:
             self.in_bias = np.zeros((1, len(self.in_channels), 1, 1), np.float32)
             self.in_scale = np.ones((1, len(self.in_channels), 1, 1), np.float32)
-        self.out_bias, self.out_scale = self.in_bias, self.in_scale
+            self.out_bias = np.zeros((1, len(self.out_channels), 1, 1), np.float32)
+            self.out_scale = np.ones((1, len(self.out_channels), 1, 1), np.float32)
+
+        if hasattr(params, "lat") and params.get("lat") is not None:
+            lat, lon = np.asarray(params.lat), np.asarray(params.lon)
+        else:
+            # same fallback formula as the multifiles dataset
+            # (ref: data_loader_multifiles.py:90-95)
+            resolution = 360.0 / float(self.img_shape[1])
+            lon = np.arange(0, 360, resolution)
+            lat = np.arange(-90, 90 + resolution, resolution)[::-1]
 
         if self.add_zenith:
-            if hasattr(params, "lat") and params.get("lat") is not None:
-                lat, lon = np.asarray(params.lat), np.asarray(params.lon)
-            else:
-                # same fallback formula as the multifiles dataset
-                # (ref: data_loader_multifiles.py:90-95)
-                resolution = 360.0 / float(self.img_shape[1])
-                lon = np.arange(0, 360, resolution)
-                lat = np.arange(-90, 90 + resolution, resolution)[::-1]
             self.lon_grid, self.lat_grid = np.meshgrid(lon, lat)
-            self.lat_grid = self.lat_grid[: self.img_shape[0], : self.img_shape[1]]
-            self.lon_grid = self.lon_grid[: self.img_shape[0], : self.img_shape[1]]
+            ra, rs = self.read_anchor, self.read_shape
+            self.lat_grid = self.lat_grid[ra[0]: ra[0] + rs[0], ra[1]: ra[1] + rs[1]]
+            self.lon_grid = self.lon_grid[ra[0]: ra[0] + rs[0], ra[1]: ra[1] + rs[1]]
+
+        # latitude regridding when the model grid differs from the data grid
+        # (mirrors data/dataset.py:97-102)
+        from makani_tpu.utils.grids import GridConverter
+        self.grid_converter = GridConverter(
+            params.get("data_grid_type", "equiangular"),
+            params.get("model_grid_type", "equiangular"),
+            np.deg2rad(np.asarray(lat, dtype=np.float64)),
+            np.deg2rad(np.asarray(lon, dtype=np.float64)),
+        )
 
     def __len__(self):
         return self.n_samples_total - self.dt * (self.n_history + self.n_future + 1)
+
+    def _windowed(self):
+        """True when reads must go through the subwindow path (crop, spatial
+        io sharding, or channel subsets)."""
+        full_spatial = (self.read_anchor == [0, 0]
+                        and self.read_shape == list(self.img_shape))
+        full_chans = (len(self.in_channels) == self.total_channels
+                      and len(self.out_channels) == self.total_channels
+                      and np.array_equal(self.in_channels, np.arange(self.total_channels))
+                      and np.array_equal(self.out_channels, np.arange(self.total_channels)))
+        return not (full_spatial and full_chans)
+
+    def _read_frames(self, global_idx, chans):
+        """(n_history + n_future + 2, len(chans), nx, ny) frames at stride dt."""
+        year_idx = bisect_right(self.year_offsets, global_idx) - 1
+        local_idx = global_idx - self.year_offsets[year_idx]
+        n_frames = self.n_history + self.n_future + 2
+        (x0, y0), (nx, ny) = self.read_anchor, self.read_shape
+
+        total = self.dt * (n_frames - 1) + 1
+        if local_idx + total <= self.n_samples_year[year_idx]:
+            if self._windowed():
+                window = self.reader.read_subwindow(
+                    year_idx, local_idx, total, chans, x0, nx, y0, ny)
+            else:
+                window = self.reader.read_window(year_idx, local_idx, total)
+            return window[:: self.dt]
+        # year-boundary: per-frame reads
+        frames = []
+        for off in range(n_frames):
+            g = global_idx + self.dt * off
+            yi = bisect_right(self.year_offsets, g) - 1
+            si = g - self.year_offsets[yi]
+            if self._windowed():
+                frames.append(self.reader.read_subwindow(yi, si, 1, chans, x0, nx, y0, ny)[0])
+            else:
+                frames.append(self.reader.read_batch([yi], [si])[0])
+        return np.stack(frames, axis=0)
 
     def __getitem__(self, global_idx):
         from makani_tpu.utils.zenith_angle import cos_zenith_angle
@@ -233,38 +328,40 @@ class BinaryDataset:
         year_idx = bisect_right(self.year_offsets, global_idx) - 1
         local_idx = global_idx - self.year_offsets[year_idx]
 
-        total = self.dt * (self.n_history + self.n_future + 1) + 1
-        if local_idx + total <= self.n_samples_year[year_idx]:
-            # fast path: one contiguous native window read
-            window = self.reader.read_window(year_idx, local_idx, total)
-            frames = window[:: self.dt]
+        if self._windowed() and not np.array_equal(self.in_channels, self.out_channels):
+            # distinct channel selections: two windowed reads
+            inp = self._read_frames(global_idx, self.in_channels)[:n_inp]
+            tar = self._read_frames(global_idx, self.out_channels)[n_inp: n_inp + n_tar]
         else:
-            # year-boundary: per-sample batched reads
-            fidx, sidx = [], []
-            for off in range(self.n_history + self.n_future + 2):
-                g = global_idx + self.dt * off
-                yi = bisect_right(self.year_offsets, g) - 1
-                fidx.append(yi)
-                sidx.append(g - self.year_offsets[yi])
-            frames = self.reader.read_batch(fidx, sidx)
-
-        inp = frames[:n_inp][:, self.in_channels]
-        tar = frames[n_inp: n_inp + n_tar][:, self.out_channels]
+            chans = self.in_channels if self._windowed() else None
+            frames = self._read_frames(global_idx, chans)
+            if self._windowed():
+                inp = frames[:n_inp]
+                tar = frames[n_inp: n_inp + n_tar]
+            else:
+                inp = frames[:n_inp][:, self.in_channels]
+                tar = frames[n_inp: n_inp + n_tar][:, self.out_channels]
         inp = (inp - self.in_bias) / self.in_scale
         tar = (tar - self.out_bias) / self.out_scale
         result = (inp.astype(np.float32), tar.astype(np.float32))
 
         if self.add_zenith:
+            # zenith anchored at the most recent INPUT time (field windows
+            # run forward from global_idx — same alignment fix as
+            # data/dataset.py:228-239)
+            anchor = local_idx + self.dt * self.n_history
             year = self.years[year_idx]
             jan01 = datetime.datetime(year, 1, 1, tzinfo=datetime.timezone.utc)
             inp_times = [jan01 + datetime.timedelta(hours=i * self.dhours)
-                         for i in range(local_idx - self.dt * self.n_history, local_idx + 1, self.dt)]
+                         for i in range(anchor - self.dt * self.n_history, anchor + 1, self.dt)]
             tar_times = [jan01 + datetime.timedelta(hours=i * self.dhours)
-                         for i in range(local_idx + self.dt,
-                                        local_idx + self.dt * (self.n_future + 1) + 1, self.dt)]
+                         for i in range(anchor + self.dt,
+                                        anchor + self.dt * (self.n_future + 1) + 1, self.dt)]
             zen_inp = np.expand_dims(cos_zenith_angle(inp_times, self.lon_grid, self.lat_grid), 1)
             zen_tar = np.expand_dims(cos_zenith_angle(tar_times, self.lon_grid, self.lat_grid), 1)
             result = result + (zen_inp.astype(np.float32), zen_tar.astype(np.float32))
+
+        result = tuple(np.asarray(self.grid_converter(r)) for r in result)
         return result
 
     def get_output_normalization(self):

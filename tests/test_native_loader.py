@@ -84,3 +84,52 @@ def test_samples_offset(tmp_path):
     # offset loader's first sample equals the base dataset's sample at index 3
     np.testing.assert_allclose(b3[0][0], ds[3][0], rtol=1e-6)
     assert not np.allclose(b0[0][0], b3[0][0])
+
+
+def test_binary_dataset_windowed_channel_subset_matches_h5(tmp_path):
+    """Crop + io-sharded spatial window + distinct in/out channel subsets +
+    per-channel stats + history: the native subwindow read path must match
+    the HDF5 dataset exactly (VERDICT r1 item 7: out-stats aliasing, missing
+    crop, and missing io-sharded reads in BinaryDataset)."""
+    from makani_tpu.data.dataset import MultifilesDataset
+    from makani_tpu.data.native_loader import BinaryDataset, convert_h5_to_bin
+
+    params = get_default_parameters()
+    params = init_dataset(str(tmp_path), params, n_samples_per_year=12, n_years=1)
+    # distinct per-channel stats so in/out normalization aliasing is caught
+    n_chan = len(params.in_channels)
+    rng = np.random.RandomState(11)
+    np.save(params.global_means_path,
+            rng.randn(1, n_chan, 1, 1).astype(np.float32))
+    np.save(params.global_stds_path,
+            (1.0 + rng.rand(1, n_chan, 1, 1)).astype(np.float32))
+    params.update_params({
+        "in_channels": [0, 2, 3],
+        "out_channels": [1, 3],
+        "n_history": 1,
+        "add_zenith": True,
+        "crop_size_x": 30, "crop_size_y": 64,
+        "crop_anchor_x": 2, "crop_anchor_y": 4,
+        "io_grid": [1, 2, 2], "io_rank": [0, 1, 1],
+    })
+
+    bin_dir = str(tmp_path / "train_bin_win")
+    convert_h5_to_bin(params.train_data_path, bin_dir)
+
+    ds_h5 = MultifilesDataset(params, params.train_data_path, train=True)
+    ds_bin = BinaryDataset(params, bin_dir, train=True)
+
+    assert ds_bin.img_local_shape_x == ds_h5.img_local_shape_x
+    assert ds_bin.img_local_shape_y == ds_h5.img_local_shape_y
+    assert ds_bin.img_local_offset_x == ds_h5.img_local_offset_x
+    np.testing.assert_allclose(ds_bin.out_bias, ds_h5.out_bias)
+    np.testing.assert_allclose(ds_bin.out_scale, ds_h5.out_scale)
+
+    for idx in [0, 4, len(ds_h5) - 1]:
+        h5_out = ds_h5[idx]
+        bin_out = ds_bin[idx]
+        assert len(h5_out) == len(bin_out) == 4
+        for i, (a, b) in enumerate(zip(h5_out, bin_out)):
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), rtol=1e-6, atol=1e-6,
+                err_msg=f"sample {idx} field {i}")
