@@ -328,7 +328,10 @@ class Trainer:
             buffers = metrics.update(buffers, pred, targ, loss, idt)
             uinp = prep.advance_unpredicted_dyn(uinp, zen_tar, idt)
             inpt = prep.append_history(inpt, pred)
-            return buffers, inpt, uinp
+            # tiny channel-0 frame pair for optional rollout videos (a few
+            # MB; avoids compiling a second full-model rollout program)
+            frame = (pred[0, 0], targ[0, 0])
+            return buffers, inpt, uinp, frame
 
         # AUTO layouts are a single-device optimization: under a real mesh,
         # layouts interact with GSPMD sharding and the default convention is
@@ -339,14 +342,20 @@ class Trainer:
         self._eval_ar_step = self._with_tables(eval_ar_step, donate=(1, 2, 3))
         self._flatten = jax.jit(prep.flatten_history)
 
-        def eval_step(model_params, buffers, inp, tar, zen_inp, zen_tar):
+        def eval_step(model_params, buffers, inp, tar, zen_inp, zen_tar,
+                      capture_frames=False):
             """Host loop over the single compiled AR step — one compile
             serves any rollout length."""
             inpt = self._flatten(inp)
             uinp = zen_inp
+            frames = []
             for idt in range(valid_autoreg_steps + 1):
-                buffers, inpt, uinp = self._eval_ar_step(
+                buffers, inpt, uinp, frame = self._eval_ar_step(
                     model_params, buffers, inpt, uinp, tar, zen_tar, idt)
+                if capture_frames:
+                    frames.append(tuple(np.asarray(f) for f in frame))
+            if capture_frames:
+                return buffers, frames
             return buffers
 
         self.eval_step = eval_step
@@ -633,6 +642,16 @@ class Trainer:
                 targ = self.preprocessor.flatten_history(tar[:, :1])
                 self.visualizer.add(f"epoch{epoch}_step{eval_steps}",
                                     np.asarray(pred[0, :2]), np.asarray(targ[0, :2]))
+                # rollout animation of channel 0 over the validation horizon
+                # (reference capability: rollout videos); frames come out of
+                # the same compiled AR step that scores the batch
+                buffers, frames = self.eval_step(
+                    self.model_params, buffers, inp, tar, zen_inp, zen_tar,
+                    capture_frames=True)
+                pf = np.stack([f[0] for f in frames])
+                tf = np.stack([f[1] for f in frames])
+                self.visualizer.add_video(f"epoch{epoch}_rollout_ch0", pf, tf)
+                continue
             buffers = self.eval_step(self.model_params, buffers, inp, tar, zen_inp, zen_tar)
 
         logs = self.metrics.finalize(buffers)

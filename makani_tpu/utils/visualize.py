@@ -1,9 +1,11 @@
-"""Visualization: prediction/target comparison images + rollout metric plots.
+"""Visualization: prediction/target comparison images, rollout metric plots,
+and rollout videos.
 
 Parity with ref: makani/utils/visualize.py:27-235 (mollweide pred/truth
 comparisons rendered in a process pool, rollout ACC/RMSE curve plots saved
-per channel). Video export is omitted (moviepy unavailable); frames are saved
-as pngs that compose into animations offline.
+per channel, rollout animations). moviepy/ffmpeg are unavailable in this
+environment, so videos are written as MJPEG-AVI (hand-rolled RIFF container
+around PIL JPEG frames — playable everywhere) with an animated-GIF fallback.
 """
 
 import logging
@@ -61,10 +63,110 @@ class VisualizationWrapper:
         self.futures.append(self.executor.submit(
             _render_comparison, (tag, np.asarray(pred), np.asarray(targ), out_path, self.projection)))
 
+    def add_video(self, tag, pred_frames, targ_frames, fps=4, fmt="avi"):
+        """Async side-by-side rollout animation ([T, H, W] frames, one
+        channel) — the reference's moviepy video export equivalent."""
+        out_path = os.path.join(self.out_dir, f"{tag}.{fmt}")
+        self.futures.append(self.executor.submit(
+            render_rollout_video, np.asarray(pred_frames), np.asarray(targ_frames),
+            out_path, fps))
+
     def finalize(self):
         paths = [f.result() for f in self.futures]
         self.futures = []
         return paths
+
+
+def _colorize(field, vmin, vmax, cmap="twilight_shifted"):
+    """Map a 2D field to uint8 RGB via a matplotlib colormap."""
+    import matplotlib
+    matplotlib.use("Agg")
+
+    norm = np.clip((field - vmin) / max(vmax - vmin, 1e-12), 0.0, 1.0)
+    rgba = matplotlib.colormaps[cmap](norm)
+    return (rgba[..., :3] * 255).astype(np.uint8)
+
+
+def write_mjpeg_avi(frames, out_path, fps=4, quality=90):
+    """Write uint8 RGB frames [T, H, W, 3] as an MJPEG AVI.
+
+    Pure-Python RIFF/AVI container with PIL-encoded JPEG frames — the
+    no-ffmpeg/no-moviepy replacement for the reference's video export
+    (ref: makani/utils/visualize.py rollout animations).
+    """
+    import io
+    import struct
+    from PIL import Image
+
+    frames = np.asarray(frames)
+    T, H, W = frames.shape[:3]
+
+    encoded = []
+    for t in range(T):
+        buf = io.BytesIO()
+        Image.fromarray(frames[t]).save(buf, format="JPEG", quality=quality)
+        data = buf.getvalue()
+        if len(data) % 2:
+            data += b"\x00"
+        encoded.append(data)
+    max_size = max(len(d) for d in encoded)
+
+    def chunk(fourcc, payload):
+        return fourcc + struct.pack("<I", len(payload)) + payload + (b"\x00" if len(payload) % 2 else b"")
+
+    def lst(fourcc, payload):
+        return chunk(b"LIST", fourcc + payload)
+
+    avih = struct.pack("<14I", int(1e6 / fps), max_size * fps, 0, 0x10, T, 0, 1, max_size, W, H, 0, 0, 0, 0)
+    strh = b"vids" + b"MJPG" + struct.pack(
+        "<IHHIIIIIIII4H", 0, 0, 0, 0, 1, fps, 0, T, max_size, 0xFFFFFFFF, 0, 0, 0, W, H)
+    strf = struct.pack("<IiiHH4sIiiII", 40, W, H, 1, 24, b"MJPG", W * H * 3, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+
+    movi_payload = b"".join(chunk(b"00dc", d) for d in encoded)
+    movi = lst(b"movi", movi_payload)
+
+    idx, offset = b"", 4
+    for d in encoded:
+        size = len(d)
+        idx += b"00dc" + struct.pack("<III", 0x10, offset, size)
+        offset += 8 + size + (size % 2)
+    idx1 = chunk(b"idx1", idx)
+
+    riff_payload = b"AVI " + hdrl + movi + idx1
+    with open(out_path, "wb") as f:
+        f.write(b"RIFF" + struct.pack("<I", len(riff_payload)) + riff_payload)
+    return out_path
+
+
+def write_gif(frames, out_path, fps=4):
+    """Animated-GIF fallback writer (uint8 RGB frames [T, H, W, 3])."""
+    from PIL import Image
+
+    imgs = [Image.fromarray(f) for f in np.asarray(frames)]
+    imgs[0].save(out_path, save_all=True, append_images=imgs[1:],
+                 duration=int(1000 / fps), loop=0)
+    return out_path
+
+
+def render_rollout_video(pred, targ, out_path, fps=4, cmap="twilight_shifted"):
+    """Side-by-side prediction|target rollout animation for one channel.
+
+    pred/targ: [T, H, W] arrays. Container picked from the file extension
+    (.avi -> MJPEG, .gif -> GIF). Ref capability: makani rollout videos.
+    """
+    pred, targ = np.asarray(pred), np.asarray(targ)
+    vmin = float(min(pred.min(), targ.min()))
+    vmax = float(max(pred.max(), targ.max()))
+    frames = []
+    for t in range(pred.shape[0]):
+        left = _colorize(pred[t], vmin, vmax, cmap)
+        right = _colorize(targ[t], vmin, vmax, cmap)
+        sep = np.zeros((left.shape[0], 4, 3), np.uint8)
+        frames.append(np.concatenate([left, sep, right], axis=1))
+    if out_path.endswith(".gif"):
+        return write_gif(frames, out_path, fps=fps)
+    return write_mjpeg_avi(frames, out_path, fps=fps)
 
 
 def plot_rollout_metrics(acc_curves, rmse_curves, params, epoch=0, model_name="model"):

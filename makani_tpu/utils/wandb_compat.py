@@ -35,6 +35,53 @@ class _Run:
         self.id = id
 
 
+class Artifact:
+    """File/dir artifact records (the wandb.Artifact surface). The file
+    backend copies contents into <run dir>/artifacts/<name>/ at log time."""
+
+    def __init__(self, name, type="dataset", description=None, metadata=None):
+        self.name = name
+        self.type = type
+        self.description = description
+        self.metadata = metadata or {}
+        self._entries = []
+
+    def add_file(self, local_path, name=None):
+        self._entries.append(("file", local_path, name or os.path.basename(local_path)))
+
+    def add_dir(self, local_path, name=None):
+        self._entries.append(("dir", local_path, name or os.path.basename(local_path)))
+
+
+def tree_histograms(tree, bins=64, prefix=""):
+    """Per-leaf summary stats + histogram for a pytree of arrays — the
+    functional stand-in for wandb.watch's module hooks (our models are
+    functional; there is no module object to hook)."""
+    import numpy as np
+    try:
+        import jax
+        leaves = jax.tree_util.tree_flatten_with_path(tree)[0]
+        items = [("/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in path), leaf)
+                 for path, leaf in leaves]
+    except Exception:
+        items = [("leaf", tree)]
+    out = {}
+    for name, leaf in items:
+        a = np.asarray(leaf, dtype=np.float64).ravel()
+        if a.size == 0:
+            continue
+        counts, edges = np.histogram(a, bins=bins)
+        out[f"{prefix}{name}"] = {
+            "_type": "histogram",
+            "min": float(a.min()), "max": float(a.max()),
+            "mean": float(a.mean()), "std": float(a.std()),
+            "l2": float(np.sqrt((a * a).sum())),
+            "counts": counts.tolist(),
+            "edges": [float(edges[0]), float(edges[-1])],
+        }
+    return out
+
+
 class _FileBackend:
     def __init__(self):
         self.run = None
@@ -87,8 +134,34 @@ class _FileBackend:
         self._fh.flush()
         self._step += 1
 
-    def watch(self, *args, **kwargs):
-        pass
+    def watch(self, tree=None, log="gradients", log_freq=100, **kwargs):
+        """Functional watch: immediately logs parameter histograms for the
+        given pytree (call again periodically — there are no module hooks
+        to install on a functional model)."""
+        if tree is not None:
+            self.log({"watch": tree_histograms(tree, prefix="param/")})
+
+    def log_artifact(self, artifact, **kwargs):
+        import shutil
+        if self.run is None or not isinstance(artifact, Artifact):
+            return
+        dest = os.path.join(self.run.dir, "artifacts", artifact.name)
+        os.makedirs(dest, exist_ok=True)
+        manifest = []
+        for kind, src, name in artifact._entries:
+            target = os.path.join(dest, name)
+            try:
+                if kind == "dir":
+                    shutil.copytree(src, target, dirs_exist_ok=True)
+                else:
+                    shutil.copy2(src, target)
+                manifest.append(name)
+            except OSError:
+                pass
+        self.log({"artifact": {"_type": "artifact", "name": artifact.name,
+                               "artifact_type": artifact.type,
+                               "metadata": artifact.metadata,
+                               "files": manifest}})
 
     def login(self, *args, **kwargs):
         pass
@@ -106,7 +179,9 @@ if _real_wandb is not None:
     watch = _real_wandb.watch
     login = _real_wandb.login
     finish = _real_wandb.finish
+    log_artifact = _real_wandb.log_artifact
     Table = _real_wandb.Table  # noqa: F811
+    Artifact = _real_wandb.Artifact  # noqa: F811
 else:
     _backend = _FileBackend()
     init = _backend.init
@@ -114,3 +189,4 @@ else:
     watch = _backend.watch
     login = _backend.login
     finish = _backend.finish
+    log_artifact = _backend.log_artifact

@@ -233,3 +233,24 @@ def test_log_weights_and_grads_dump(tmp_path):
     gkeys = [k for k in data.files if k.startswith("grads/")]
     assert len(wkeys) == len(gkeys) > 0
     assert all(np.isfinite(data[k]).all() for k in gkeys)
+
+
+def test_trainer_log_video_rollout(tmp_path):
+    """log_video renders a comparison png + a channel-0 rollout video from
+    the compiled AR validation step (ref capability: rollout animations)."""
+    import glob
+
+    from makani_tpu.utils.trainer import Trainer
+
+    params = _trainer_params(tmp_path, log_video=1)
+    trainer = Trainer(params, world_rank=0)
+    trainer.train()
+
+    viz_dir = os.path.join(params["experiment_dir"], "visualizations")
+    vids = glob.glob(os.path.join(viz_dir, "*rollout*"))
+    pngs = glob.glob(os.path.join(viz_dir, "*.png"))
+    assert vids and os.path.getsize(vids[0]) > 100
+    assert pngs
+    # video has valid_autoreg_steps+1 frames encoded as MJPEG chunks
+    data = open(vids[0], "rb").read()
+    assert data[:4] == b"RIFF" and b"MJPG" in data
