@@ -80,9 +80,12 @@ class SpectralConv(nn.Module):
 
         dtype = x.dtype
         residual = x
-        x = x.astype(jnp.float32)
 
-        # transforms always run in f32 (ref: spectral_convolution.py:130-141)
+        # transforms accumulate in f32 (ref: spectral_convolution.py:130-141);
+        # bf16 AMP inputs are consumed directly by the transform's DFT matmul
+        # (bit-identical to an f32 upcast under HIGH precision — ops/sht.py)
+        if x.dtype not in (jnp.bfloat16, jnp.float32):
+            x = x.astype(jnp.float32)
         x = fwd_t(x)
         from makani_tpu.parallel import spmd as _spmd
         if _spmd.model_distributed():

@@ -61,13 +61,27 @@ def get_transform_precision():
 
 
 def transform_einsum(eq, x, table, precision):
-    """Activation x table einsum honoring the extended precision modes."""
+    """Activation x table einsum honoring the extended precision modes.
+
+    bf16 note: a bf16 (AMP) activation under HIGH could in principle skip one
+    of HIGH's 3 bf16 passes (its lo split is exactly zero). Expressed as two
+    jnp einsums + add this LOSES ~4% end to end — XLA materializes each pass
+    instead of accumulating in VMEM like its native HIGH kernel (measured
+    round 2: 3.04 -> 2.94 steps/s). The 2-pass form needs in-kernel
+    accumulation, i.e. the Pallas grid-dot path; at the jnp level bf16 inputs
+    are upcast and handed to the native HIGH kernel.
+    """
+    if x.dtype == jnp.bfloat16 and precision == jax.lax.Precision.DEFAULT:
+        return jnp.einsum(eq, x, table.astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32)
     if precision == "split2":
         xb = x.astype(jnp.bfloat16)
         th = table.astype(jnp.bfloat16)
         tl = (table - th.astype(jnp.float32)).astype(jnp.bfloat16)
         return (jnp.einsum(eq, xb, th, preferred_element_type=jnp.float32)
                 + jnp.einsum(eq, xb, tl, preferred_element_type=jnp.float32))
+    if x.dtype == jnp.bfloat16:  # HIGHEST (strict f32) with a bf16 activation
+        x = x.astype(jnp.float32)
     return jnp.einsum(eq, x, table, precision=precision)
 
 
@@ -202,33 +216,43 @@ class RealSHT:
     def __call__(self, x):
         from makani_tpu.parallel import spmd
 
-        x = x.astype(jnp.float32)
+        # bf16 AMP inputs stay bf16 into the DFT matmul (bit-identical to
+        # upcasting under HIGH — see transform_einsum); everything downstream
+        # of the first contraction is f32 as the reference mandates
+        if x.dtype != jnp.bfloat16:
+            x = x.astype(jnp.float32)
         dist = spmd.spatial_distributed() and x.ndim == 4
 
         if dist:
             # channel<->lon transpose: lon local, channels over w
             x = spmd.constrain(x, "data", ("fin", "w"), "h", None)
 
-        # longitudinal integral as a truncated DFT matmul (real pairs)
+        # longitudinal integral as a truncated DFT matmul. The cos and -sin
+        # tables are stacked into ONE (nlon, 2*mmax) operand: a single dot
+        # with one consumer of x lets XLA fuse the bf16->f32 upcast into the
+        # matmul and skip the zero activation-lo pass of the HIGH
+        # decomposition — measured 5.4x faster than two separate dots at
+        # flagship shapes (scripts/bench_gridmm.py). The imaginary part's
+        # sign lives in the table, and the real/imag planes stay stacked as
+        # a size-2 axis through the Legendre contraction (one batched dot
+        # instead of two, no slice-induced relayouts).
         C, S = self._rdft_tables()
-        re = transform_einsum("...j,jm->...m", x, C, _PRECISION)
-        im = -transform_einsum("...j,jm->...m", x, S, _PRECISION)
+        T = jnp.concatenate([C, -S], axis=1)
+        z = transform_einsum("...j,jm->...m", x, T, _PRECISION)
 
         # quadrature weights applied to the (small) spectral intermediate so
         # the Legendre table can be shared with the inverse transform
         wq = device_constant(self.wq)
-        re = re * wq[:, None]
-        im = im * wq[:, None]
+        z = z * wq[:, None]
+        zs = z.reshape(z.shape[:-1] + (2, self.mmax))
 
         if dist:
             # polar transpose: lat local for the Legendre contraction
-            re = spmd.constrain(re, "data", ("fin", "h"), None, "w")
-            im = spmd.constrain(im, "data", ("fin", "h"), None, "w")
+            zs = spmd.constrain(zs, "data", ("fin", "h"), None, None, "w")
 
         w = self._pct_table()
-        ore = transform_einsum("...km,mlk->...lm", re, w, _PRECISION)
-        oim = transform_einsum("...km,mlk->...lm", im, w, _PRECISION)
-        out = jax.lax.complex(ore, oim)
+        o = transform_einsum("...ksm,mlk->...slm", zs, w, _PRECISION)
+        out = jax.lax.complex(o[..., 0, :, :], o[..., 1, :, :])
 
         if dist:
             # final layout: l sharded over h, m sharded over w
@@ -278,25 +302,26 @@ class InverseRealSHT:
             # SpectralConv branch-cotangent add degenerates to an involuntary
             # full rematerialization (replicate-then-slice) in SPMD
             x = spmd.constrain(x, "data", "fin", "h", "w")
-        xre, xim = jnp.real(x), jnp.imag(x)
+        # real/imag planes stacked on a size-2 axis (coefficient-sized, so
+        # the stack is cheap) -> ONE inverse-Legendre dot and ONE final
+        # synthesis matmul contracting (s, m) against the [cos; -sin]-stacked
+        # table, instead of two dots + subtract with a grid-sized output each
+        xs = jnp.stack([jnp.real(x), jnp.imag(x)], axis=-3)
         if dist:
             # l local for the synthesis contraction, channels over h
-            xre = spmd.constrain(xre, "data", ("fin", "h"), None, "w")
-            xim = spmd.constrain(xim, "data", ("fin", "h"), None, "w")
+            xs = spmd.constrain(xs, "data", ("fin", "h"), None, None, "w")
 
         pct = self._pct_table()
-        re = transform_einsum("...lm,mlk->...km", xre, pct, _PRECISION)
-        im = transform_einsum("...lm,mlk->...km", xim, pct, _PRECISION)
+        zs = transform_einsum("...slm,mlk->...skm", xs, pct, _PRECISION)
 
         if dist:
             # m local for the inverse lon transform, lat over h, channels over w
-            re = spmd.constrain(re, "data", ("fin", "w"), "h", None)
-            im = spmd.constrain(im, "data", ("fin", "w"), "h", None)
+            zs = spmd.constrain(zs, "data", ("fin", "w"), None, "h", None)
 
         # real synthesis matmul sums the +/-m conjugate pairs
         Cs, Ss = self._irdft_tables()
-        out = (transform_einsum("...m,mj->...j", re, Cs, _PRECISION)
-               - transform_einsum("...m,mj->...j", im, Ss, _PRECISION))
+        T = jnp.stack([Cs, -Ss], axis=0)
+        out = transform_einsum("...skm,smj->...kj", zs, T, _PRECISION)
 
         if dist:
             out = spmd.constrain(out, "data", "fin", "h", "w")
