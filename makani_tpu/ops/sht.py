@@ -206,12 +206,24 @@ class RealSHT:
             return _table(key, lambda: legpoly_device(self.mmax, self.lmax, self.tq))
         return device_constant(_get_pct(self.grid, self.nlat, self.lmax, self.mmax, True))
 
-    def _rdft_tables(self):
-        if _use_device_tables():
-            from makani_tpu.ops.device_tables import rdft_device
-            return rdft_device(self.nlon, self.mmax, scale="integral")
-        from makani_tpu.ops.dft import rdft_matrices
-        return tuple(map(device_constant, rdft_matrices(self.nlon, self.mmax, scale="integral")))
+    def _rdft_stacked_table(self):
+        """ONE (nlon, 2*mmax) [cos | -sin] DFT operand, hoisted as a single
+        buffer: a single dot with a single rhs buffer is the form XLA's fast
+        bf16-operand kernel accepts (an in-graph concat of two table halves
+        compiles to a visibly slower dot — measured round 2)."""
+        key = f"rdftT:{self.nlon}:{self.mmax}"
+
+        def init():
+            if _use_device_tables():
+                from makani_tpu.ops.device_tables import rdft_device
+                C, S = rdft_device(self.nlon, self.mmax, scale="integral")
+            else:
+                from makani_tpu.ops.dft import rdft_matrices
+                Cn, Sn = rdft_matrices(self.nlon, self.mmax, scale="integral")
+                C, S = device_constant(Cn), device_constant(Sn)
+            return jnp.concatenate([C, -S], axis=1)
+
+        return _table(key, init)
 
     def __call__(self, x):
         from makani_tpu.parallel import spmd
@@ -227,32 +239,33 @@ class RealSHT:
             # channel<->lon transpose: lon local, channels over w
             x = spmd.constrain(x, "data", ("fin", "w"), "h", None)
 
-        # longitudinal integral as a truncated DFT matmul. The cos and -sin
-        # tables are stacked into ONE (nlon, 2*mmax) operand: a single dot
-        # with one consumer of x lets XLA fuse the bf16->f32 upcast into the
-        # matmul and skip the zero activation-lo pass of the HIGH
-        # decomposition — measured 5.4x faster than two separate dots at
-        # flagship shapes (scripts/bench_gridmm.py). The imaginary part's
-        # sign lives in the table, and the real/imag planes stay stacked as
-        # a size-2 axis through the Legendre contraction (one batched dot
-        # instead of two, no slice-induced relayouts).
-        C, S = self._rdft_tables()
-        T = jnp.concatenate([C, -S], axis=1)
-        z = transform_einsum("...j,jm->...m", x, T, _PRECISION)
+        # longitudinal integral as ONE truncated-DFT matmul against the
+        # stacked [cos | -sin] table (the imaginary sign lives in the table);
+        # a single dot with a single consumer of the grid tensor is the form
+        # XLA executes fastest on bf16 AMP inputs (scripts/bench_gridmm.py).
+        # The stacked mode axis comes out LEADING: the re/im split is then a
+        # contiguous major-dim slice (free bitcast, no slice kernels) and the
+        # m-batched Legendre dots get their preferred m-leading layout.
+        T = self._rdft_stacked_table()
+        z = transform_einsum("...j,jm->m...", x, T, _PRECISION)
 
         # quadrature weights applied to the (small) spectral intermediate so
         # the Legendre table can be shared with the inverse transform
+        # (lat is the last axis of z here)
         wq = device_constant(self.wq)
-        z = z * wq[:, None]
-        zs = z.reshape(z.shape[:-1] + (2, self.mmax))
+        z = z * wq
+        re = z[: self.mmax]
+        im = z[self.mmax :]
 
         if dist:
             # polar transpose: lat local for the Legendre contraction
-            zs = spmd.constrain(zs, "data", ("fin", "h"), None, None, "w")
+            re = spmd.constrain(re, "w", "data", ("fin", "h"), None)
+            im = spmd.constrain(im, "w", "data", ("fin", "h"), None)
 
         w = self._pct_table()
-        o = transform_einsum("...ksm,mlk->...slm", zs, w, _PRECISION)
-        out = jax.lax.complex(o[..., 0, :, :], o[..., 1, :, :])
+        ore = transform_einsum("m...k,mlk->...lm", re, w, _PRECISION)
+        oim = transform_einsum("m...k,mlk->...lm", im, w, _PRECISION)
+        out = jax.lax.complex(ore, oim)
 
         if dist:
             # final layout: l sharded over h, m sharded over w
@@ -281,12 +294,22 @@ class InverseRealSHT:
             return _table(key, lambda: legpoly_device(self.mmax, self.lmax, self.tq))
         return device_constant(_get_pct(self.grid, self.nlat, self.lmax, self.mmax, True))
 
-    def _irdft_tables(self):
-        if _use_device_tables():
-            from makani_tpu.ops.device_tables import irdft_device
-            return irdft_device(self.nlon, self.mmax, scale="synthesis")
-        from makani_tpu.ops.dft import irdft_matrices
-        return tuple(map(device_constant, irdft_matrices(self.nlon, self.mmax, scale="synthesis")))
+    def _irdft_stacked_table(self):
+        """ONE (2*mmax, nlon) [cos ; -sin] synthesis operand, hoisted as a
+        single buffer (see RealSHT._rdft_stacked_table)."""
+        key = f"irdftT:{self.nlon}:{self.mmax}"
+
+        def init():
+            if _use_device_tables():
+                from makani_tpu.ops.device_tables import irdft_device
+                Cs, Ss = irdft_device(self.nlon, self.mmax, scale="synthesis")
+            else:
+                from makani_tpu.ops.dft import irdft_matrices
+                Cn, Sn = irdft_matrices(self.nlon, self.mmax, scale="synthesis")
+                Cs, Ss = device_constant(Cn), device_constant(Sn)
+            return jnp.concatenate([Cs, -Ss], axis=0)
+
+        return _table(key, init)
 
     def __call__(self, x):
         from makani_tpu.parallel import spmd
@@ -302,26 +325,29 @@ class InverseRealSHT:
             # SpectralConv branch-cotangent add degenerates to an involuntary
             # full rematerialization (replicate-then-slice) in SPMD
             x = spmd.constrain(x, "data", "fin", "h", "w")
-        # real/imag planes stacked on a size-2 axis (coefficient-sized, so
-        # the stack is cheap) -> ONE inverse-Legendre dot and ONE final
-        # synthesis matmul contracting (s, m) against the [cos; -sin]-stacked
-        # table, instead of two dots + subtract with a grid-sized output each
-        xs = jnp.stack([jnp.real(x), jnp.imag(x)], axis=-3)
+        xre, xim = jnp.real(x), jnp.imag(x)
         if dist:
             # l local for the synthesis contraction, channels over h
-            xs = spmd.constrain(xs, "data", ("fin", "h"), None, None, "w")
+            xre = spmd.constrain(xre, "data", ("fin", "h"), None, "w")
+            xim = spmd.constrain(xim, "data", ("fin", "h"), None, "w")
 
+        # inverse-Legendre emits the mode axis LEADING so the re/im planes
+        # concatenate on the major dim (contiguous block copy, and the
+        # cotangent split in the backward is a free bitcast slice)
         pct = self._pct_table()
-        zs = transform_einsum("...slm,mlk->...skm", xs, pct, _PRECISION)
+        re = transform_einsum("...lm,mlk->m...k", xre, pct, _PRECISION)
+        im = transform_einsum("...lm,mlk->m...k", xim, pct, _PRECISION)
 
         if dist:
             # m local for the inverse lon transform, lat over h, channels over w
-            zs = spmd.constrain(zs, "data", ("fin", "w"), None, "h", None)
+            re = spmd.constrain(re, None, "data", ("fin", "w"), "h")
+            im = spmd.constrain(im, None, "data", ("fin", "w"), "h")
 
-        # real synthesis matmul sums the +/-m conjugate pairs
-        Cs, Ss = self._irdft_tables()
-        T = jnp.stack([Cs, -Ss], axis=0)
-        out = transform_einsum("...skm,smj->...kj", zs, T, _PRECISION)
+        # real synthesis: ONE matmul against the [cos ; -sin]-stacked table —
+        # one grid-sized output write instead of two + subtract
+        z = jnp.concatenate([re, im], axis=0)
+        T = self._irdft_stacked_table()
+        out = transform_einsum("m...k,mj->...kj", z, T, _PRECISION)
 
         if dist:
             out = spmd.constrain(out, "data", "fin", "h", "w")

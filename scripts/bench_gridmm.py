@@ -151,6 +151,42 @@ def main():
         + jnp.einsum("rm,mj->rj", z.astype(jnp.bfloat16), Tl, preferred_element_type=jnp.float32)
     ).astype(jnp.bfloat16), zf)
 
+    # does a MATERIALIZED bf16 buffer (concat output) re-engage the fast
+    # kernel, unlike the fused f32->bf16->f32 round-trip above?
+    timeit("xla concat-bf16 stacked HIGH", lambda z: jnp.einsum(
+        "rm,mj->rj",
+        jnp.concatenate([z[:, :241].astype(jnp.bfloat16),
+                         z[:, 241:].astype(jnp.bfloat16)], axis=1).astype(jnp.float32),
+        Ts, precision=H).astype(jnp.bfloat16), zf)
+    got3 = np.asarray(jax.jit(lambda z: jnp.einsum(
+        "rm,mj->rj", z.astype(jnp.bfloat16).astype(jnp.float32), Ts,
+        precision=H))(zf[:2048]))
+    print(f"maxrel bf16-rounded act HIGH: {np.abs(got3-ref2).max()/scale2:.3e}")
+
+    # HIGH-via-bf16-buffers: split the f32 activation into hi/lo bf16
+    # BUFFERS (optimization_barrier forces materialization) and give each
+    # its own single-consumer dot — if both dots hit the fast bf16-operand
+    # kernel this is full-HIGH accuracy at ~2 bf16-dot cost
+    def xsplit_barrier(z):
+        zh = z.astype(jnp.bfloat16)
+        zl = (z - zh.astype(jnp.float32)).astype(jnp.bfloat16)
+        zh, zl = jax.lax.optimization_barrier((zh, zl))
+        return (jnp.einsum("rm,mj->rj", zh.astype(jnp.float32), Ts, precision=H)
+                + jnp.einsum("rm,mj->rj", zl.astype(jnp.float32), Ts, precision=H)
+                ).astype(jnp.bfloat16)
+
+    def xsplit_plain(z):
+        zh = z.astype(jnp.bfloat16)
+        zl = (z - zh.astype(jnp.float32)).astype(jnp.bfloat16)
+        return (jnp.einsum("rm,mj->rj", zh.astype(jnp.float32), Ts, precision=H)
+                + jnp.einsum("rm,mj->rj", zl.astype(jnp.float32), Ts, precision=H)
+                ).astype(jnp.bfloat16)
+
+    timeit("xla xsplit barrier HIGH", xsplit_barrier, zf)
+    timeit("xla xsplit plain HIGH", xsplit_plain, zf)
+    got4 = np.asarray(jax.jit(xsplit_barrier)(zf[:2048]).astype(jnp.float32))
+    print(f"maxrel xsplit (thru bf16 out): {np.abs(got4-ref2).max()/scale2:.3e}")
+
     print("== Legendre shape (m-batched) [241m] x [320c,240k] @ [240k,240l]")
     xc = jnp.asarray(rng.randn(320, 240, 241).astype(np.float32))  # [c,k,m]
     P = jnp.asarray(rng.randn(241, 240, 240).astype(np.float32))   # [m,l,k]
