@@ -21,9 +21,12 @@ def set_contraction_precision(name: str):
     global _PRECISION
     _PRECISION = {
         "default": jax.lax.Precision.DEFAULT,
-        # split2 is a transform-table mode (ops/sht.py); contractions have two
-        # dynamic operands, so it maps to the 3-pass HIGH here
+        # split2/tf32 are transform-stage modes (ops/sht.py); contractions
+        # are coefficient-space (genuine f32 operands), so both map to the
+        # 3-pass HIGH here — already tighter than the reference's TF32
         "split2": jax.lax.Precision.HIGH,
+        "tf32": jax.lax.Precision.HIGH,
+        "mixed": jax.lax.Precision.HIGH,
         "high": jax.lax.Precision.HIGH,
         "highest": jax.lax.Precision.HIGHEST,
     }[name]

@@ -40,17 +40,23 @@ _PRECISION = jax.lax.Precision.HIGH
 
 
 def set_transform_precision(name: str):
-    """'default' | 'split2' | 'high' (tf32-like) | 'highest' (full f32).
+    """'default' | 'split2' | 'mixed' (alias 'tf32') | 'high' | 'highest'.
 
-    'split2' is the TPU-native middle ground: activations round to bf16 (one
-    pass) while the *tables* keep ~16 mantissa bits via a bf16 hi/lo split
-    (two passes). 2/3 the MXU work of HIGH with table-side accuracy intact —
-    the loss vs the reference's TF32 is ~1 mantissa bit on the activations.
+    'high' (3-pass bf16, ~16-bit operands) is strictly tighter than the
+    reference's TF32 everywhere (measured SHT roundtrip 5.6e-5 vs TF32's
+    ~3e-4 expectation). 'mixed' runs the grid-side DFT dots at 1-pass bf16
+    and the coefficient-space dots at HIGH: roundtrip 3.7e-3 — looser than
+    true TF32 but of the same order as the bf16 AMP activation rounding both
+    frameworks impose at every block seam; +13% throughput over 'high'
+    at the flagship (see BENCH_NOTES.md round-2 table). 'split2' rounds
+    activations to bf16 but keeps hi/lo split tables (two dots).
     """
     global _PRECISION
     _PRECISION = {
         "default": jax.lax.Precision.DEFAULT,
         "split2": "split2",
+        "tf32": "tf32",  # alias
+        "mixed": "tf32",
         "high": jax.lax.Precision.HIGH,
         "highest": jax.lax.Precision.HIGHEST,
     }[name]
@@ -60,8 +66,16 @@ def get_transform_precision():
     return _PRECISION
 
 
-def transform_einsum(eq, x, table, precision):
+def transform_einsum(eq, x, table, precision, stage="coeff"):
     """Activation x table einsum honoring the extended precision modes.
+
+    `stage` marks grid-side dots ("grid": the longitude DFT/iDFT, whose
+    activations are bf16-valued under AMP) vs coefficient-space dots
+    ("coeff": Legendre contractions on genuine-f32 spectral values). The
+    "mixed"/"tf32" mode runs grid dots at 1-pass bf16 and coefficient dots
+    at HIGH — the fast point closest to the reference's TF32 numerics
+    (ref: makani/train.py:109-110 allow_tf32); see set_transform_precision
+    for the measured accuracy ladder.
 
     bf16 note: a bf16 (AMP) activation under HIGH could in principle skip one
     of HIGH's 3 bf16 passes (its lo split is exactly zero). Expressed as two
@@ -71,7 +85,10 @@ def transform_einsum(eq, x, table, precision):
     accumulation, i.e. the Pallas grid-dot path; at the jnp level bf16 inputs
     are upcast and handed to the native HIGH kernel.
     """
-    if x.dtype == jnp.bfloat16 and precision == jax.lax.Precision.DEFAULT:
+    if precision == "tf32":
+        precision = jax.lax.Precision.DEFAULT if stage == "grid" \
+            else jax.lax.Precision.HIGH
+    if precision == jax.lax.Precision.DEFAULT and x.dtype == jnp.bfloat16:
         return jnp.einsum(eq, x, table.astype(jnp.bfloat16),
                           preferred_element_type=jnp.float32)
     if precision == "split2":
@@ -80,7 +97,7 @@ def transform_einsum(eq, x, table, precision):
         tl = (table - th.astype(jnp.float32)).astype(jnp.bfloat16)
         return (jnp.einsum(eq, xb, th, preferred_element_type=jnp.float32)
                 + jnp.einsum(eq, xb, tl, preferred_element_type=jnp.float32))
-    if x.dtype == jnp.bfloat16:  # HIGHEST (strict f32) with a bf16 activation
+    if x.dtype == jnp.bfloat16:  # multi-pass modes expect an f32 activation
         x = x.astype(jnp.float32)
     return jnp.einsum(eq, x, table, precision=precision)
 
@@ -247,7 +264,7 @@ class RealSHT:
         # contiguous major-dim slice (free bitcast, no slice kernels) and the
         # m-batched Legendre dots get their preferred m-leading layout.
         T = self._rdft_stacked_table()
-        z = transform_einsum("...j,jm->m...", x, T, _PRECISION)
+        z = transform_einsum("...j,jm->m...", x, T, _PRECISION, stage="grid")
 
         # quadrature weights applied to the (small) spectral intermediate so
         # the Legendre table can be shared with the inverse transform
@@ -347,7 +364,7 @@ class InverseRealSHT:
         # one grid-sized output write instead of two + subtract
         z = jnp.concatenate([re, im], axis=0)
         T = self._irdft_stacked_table()
-        out = transform_einsum("m...k,mj->...kj", z, T, _PRECISION)
+        out = transform_einsum("m...k,mj->...kj", z, T, _PRECISION, stage="grid")
 
         if dist:
             out = spmd.constrain(out, "data", "fin", "h", "w")

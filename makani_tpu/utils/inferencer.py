@@ -151,9 +151,16 @@ class Inferencer(Trainer):
         self._lite_step = self._with_tables(lite_step, donate=(1, 2))
         self._flatten = jax.jit(prep.flatten_history)
 
+    @staticmethod
+    def _fresh_uinp(zen_inp):
+        """The AR steps donate their rolling zenith input; hand them a copy
+        so the caller's zen_inp survives a later rollout over the same batch
+        (inference_single with compute_metrics AND output_data)."""
+        return None if zen_inp is None else jnp.array(zen_inp, copy=True)
+
     def _rollout_metrics(self, p, buffers, rmse_t, rmse_s, inp, tar, zen_inp, zen_tar):
         inpt = self._flatten(inp)
-        uinp = zen_inp
+        uinp = self._fresh_uinp(zen_inp)
         for idt in range(self._S):
             buffers, rmse_t, rmse_s, inpt, uinp = self._metrics_step(
                 p, buffers, rmse_t, rmse_s, inpt, uinp, tar, zen_tar, idt)
@@ -161,7 +168,7 @@ class Inferencer(Trainer):
 
     def _rollout_capture(self, p, inp, tar, zen_inp, zen_tar):
         inpt = self._flatten(inp)
-        uinp = zen_inp
+        uinp = self._fresh_uinp(zen_inp)
         preds, targs = [], []
         for idt in range(self._S):
             pred, targ, inpt, uinp = self._capture_step(
@@ -172,7 +179,7 @@ class Inferencer(Trainer):
 
     def _rollout_lite(self, p, inp, zen_inp, zen_tar):
         inpt = self._flatten(inp)
-        uinp = zen_inp
+        uinp = self._fresh_uinp(zen_inp)
         preds = []
         for idt in range(self._S):
             pred, inpt, uinp = self._lite_step(p, inpt, uinp, zen_tar, idt)

@@ -96,3 +96,22 @@ def test_netcdf_roundtrip(tmp_path):
     write_prediction_file(path, data)
     v0 = read_netcdf_var(path, "var0")
     np.testing.assert_allclose(v0, data[:, 0])
+
+
+def test_inference_single_with_zenith_metrics_and_data(tmp_path):
+    """Regression: with add_zenith, inference_single(compute_metrics=True,
+    output_data=True) runs two rollouts over the same batch — the donated
+    zenith input must not be reused after the first (round-2 bug: 'Array has
+    been deleted')."""
+    from makani_tpu.utils.trainer import Trainer
+    from makani_tpu.utils.inferencer import Inferencer
+
+    params = _params(tmp_path)
+    params["add_zenith"] = True
+    trainer = Trainer(params, world_rank=0)
+    trainer.train()
+
+    inferencer = Inferencer(params, world_rank=0)
+    targ, pred = inferencer.inference_single(ic=0, compute_metrics=True,
+                                             output_data=True, output_channels=[0])
+    assert np.isfinite(pred).all() and np.isfinite(targ).all()
