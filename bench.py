@@ -147,12 +147,15 @@ def main():
     if tm:
         from makani_tpu.ops.sht import set_table_mode
         set_table_mode(tm)
-    bp = os.environ.get("BENCH_PRECISION")
-    if bp:
-        from makani_tpu.ops.sht import set_transform_precision
-        from makani_tpu.ops.complex_ops import set_contraction_precision
-        set_transform_precision(bp)
-        set_contraction_precision(bp)
+    # transform precision: default mirrors the Trainer's bf16-AMP policy
+    # ("mixed" — grid DFTs 1-pass, coefficient math HIGH; the reference's own
+    # default is TF32-under-AMP). Override with BENCH_PRECISION=high etc.
+    bp = os.environ.get("BENCH_PRECISION") or "mixed"
+    from makani_tpu.ops.sht import set_transform_precision
+    from makani_tpu.ops.complex_ops import set_contraction_precision
+    set_transform_precision(bp)
+    set_contraction_precision(bp)
+    os.environ["_BENCH_PREC_TAG"] = bp
     if int(os.environ.get("BENCH_PALLAS", 0)):
         from makani_tpu.ops.complex_ops import enable_pallas_kernels
         enable_pallas_kernels(True)
@@ -374,8 +377,10 @@ def run_train_bench(embed):
         except Exception:
             pass
 
+    prec_tag = os.environ.get("_BENCH_PREC_TAG", "high")
     print(json.dumps({
-        "metric": f"SFNO-{chans}ch {nlat}x{nlon} edim{embed} L{layers} bf16 train throughput",
+        "metric": f"SFNO-{chans}ch {nlat}x{nlon} edim{embed} L{layers} "
+                  f"bf16/{prec_tag} train throughput",
         "value": round(steps_per_sec, 4),
         "unit": "steps/sec/chip",
         "vs_baseline": round(vs_baseline, 4),

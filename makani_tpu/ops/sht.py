@@ -85,11 +85,19 @@ def transform_einsum(eq, x, table, precision, stage="coeff"):
     accumulation, i.e. the Pallas grid-dot path; at the jnp level bf16 inputs
     are upcast and handed to the native HIGH kernel.
     """
+    if jax.default_backend() == "cpu":
+        # the CPU dot thunk has no bf16 x bf16 -> f32 kernel, and CPU f32
+        # dots are exact regardless of the precision enum — every mode
+        # resolves to a plain f32 einsum off-accelerator
+        return jnp.einsum(eq, x.astype(jnp.float32), table)
     if precision == "tf32":
         precision = jax.lax.Precision.DEFAULT if stage == "grid" \
             else jax.lax.Precision.HIGH
-    if precision == jax.lax.Precision.DEFAULT and x.dtype == jnp.bfloat16:
-        return jnp.einsum(eq, x, table.astype(jnp.bfloat16),
+    if precision == jax.lax.Precision.DEFAULT:
+        # explicit bf16 operands: numerically identical to a DEFAULT f32 dot
+        # on TPU (which rounds operands to bf16 internally) but hands XLA a
+        # true bf16 x bf16 kernel
+        return jnp.einsum(eq, x.astype(jnp.bfloat16), table.astype(jnp.bfloat16),
                           preferred_element_type=jnp.float32)
     if precision == "split2":
         xb = x.astype(jnp.bfloat16)

@@ -95,9 +95,16 @@ class Trainer:
             # fp16 maps to bf16 on TPU (native, no grad scaler needed)
             self.amp_dtype = jnp.bfloat16
 
-        # spectral matmul precision ("high" = tf32-equivalent, the reference
-        # default; "highest" for strict f32)
-        tp = params.get("transform_precision", "high")
+        # spectral matmul precision. Default under bf16 AMP is "mixed"
+        # (grid-side DFTs 1-pass, coefficient math HIGH): on-chip the
+        # model-level deviation from f32 is ~1.5e-2 for high and mixed alike
+        # (the AMP activation rounding dominates; high buys a 3% reduction
+        # for 13% throughput), matching the reference's own TF32-under-AMP
+        # default (ref: makani/train.py:109-110). Without AMP the default is
+        # "high" (~16-bit operands, tighter than TF32); "highest" = strict f32.
+        tp = params.get("transform_precision", None)
+        if tp is None:
+            tp = "mixed" if self.amp_dtype is not None else "high"
         from makani_tpu.ops.sht import set_transform_precision
         from makani_tpu.ops.complex_ops import set_contraction_precision
         set_transform_precision(tp)

@@ -204,3 +204,38 @@ def test_sht_roundtrip_with_device_tables():
         np.testing.assert_allclose(c2, coeffs, rtol=1e-3, atol=2e-4)
     finally:
         sht_mod.set_table_mode("auto")
+
+
+def test_transform_precision_modes_roundtrip():
+    """All documented precision modes ('default'/'split2'/'mixed'/'tf32'/
+    'high'/'highest') produce a consistent SHT roundtrip. On CPU the 1-pass
+    branches keep f32 activations exact, so every mode sits at f32 tolerance;
+    the on-chip accuracy ladder is measured by scripts/precision_study.py."""
+    import numpy as np
+    import jax.numpy as jnp
+    from makani_tpu.ops import sht as sht_mod
+    from makani_tpu.ops import RealSHT, InverseRealSHT
+
+    nlat, nlon = 24, 48
+    lmax = mmax = nlat // 2
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 3, nlat, nlon).astype(np.float32))
+
+    fwd = RealSHT(nlat, nlon, lmax, mmax, grid="legendre-gauss")
+    inv = InverseRealSHT(nlat, nlon, lmax, mmax, grid="legendre-gauss")
+
+    # band-limit first so the roundtrip is exact up to arithmetic error
+    xb = inv(fwd(x))
+    ref = None
+    try:
+        for mode in ("default", "split2", "mixed", "tf32", "high", "highest"):
+            sht_mod.set_transform_precision(mode)
+            out = np.asarray(inv(fwd(xb)))
+            assert np.isfinite(out).all(), mode
+            if ref is None:
+                ref = out
+            scale = np.abs(ref).max()
+            # CPU: everything is f32-exact-ish; bf16-table modes may round
+            np.testing.assert_allclose(out, ref, atol=2e-2 * scale, err_msg=mode)
+    finally:
+        sht_mod.set_transform_precision("high")
