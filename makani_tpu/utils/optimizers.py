@@ -87,6 +87,25 @@ class LRScheduler:
 
         self.epoch = 0
 
+    def state_dict(self):
+        """Full runtime state for checkpointing (the reference checkpoints
+        the torch scheduler's state dict, ref: makani/utils/trainer.py:949-969;
+        without the plateau fields a resumed ReduceLROnPlateau run would
+        silently un-decay its LR)."""
+        return {
+            "epoch": self.epoch,
+            "plateau_scale": self._plateau_scale,
+            "plateau_best": self._best if math.isfinite(self._best) else None,
+            "plateau_bad_epochs": self._bad_epochs,
+        }
+
+    def load_state_dict(self, state):
+        self.epoch = int(state.get("epoch", 0))
+        self._plateau_scale = float(state.get("plateau_scale", 1.0))
+        best = state.get("plateau_best", float("inf"))
+        self._best = float("inf") if best is None else float(best)
+        self._bad_epochs = int(state.get("plateau_bad_epochs", 0))
+
     def epoch_step(self, valid_loss=None):
         """Advance the epoch counter; feed the plateau scheduler."""
         self.epoch += 1

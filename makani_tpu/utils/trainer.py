@@ -109,6 +109,12 @@ class Trainer:
         from makani_tpu.ops.complex_ops import set_contraction_precision
         set_transform_precision(tp)
         set_contraction_precision(tp)
+        # surface the resolved numerics so AMP configs notice the
+        # precision-mode change (ADVICE r2): the default is AMP-dependent
+        logger.info(
+            "transform/contraction precision: %r (amp=%s%s)", tp,
+            amp_mode, "" if params.get("transform_precision") is not None
+            else ", AMP-dependent default")
 
         # NaN/Inf trapping (ref: --enable_grad_anomaly_detection ->
         # torch.autograd.set_detect_anomaly, makani/train.py:113-114). The
@@ -158,6 +164,7 @@ class Trainer:
         self.iters = 0
         self.epoch = 0
         self.startEpoch = 0
+        self.best_valid_loss = 1.0e6
 
         # compile steps
         self._build_steps()
@@ -511,7 +518,6 @@ class Trainer:
             logger.info("Starting Training Loop...")
 
         training_start = time.time()
-        best_valid_loss = 1.0e6
 
         self._log_memory("training start")
         dump_every = int(self.params.log_weights_and_grads or 0)
@@ -543,10 +549,10 @@ class Trainer:
                 best_saved = ckpt_lib.checkpoint_exists(best_path)
                 vloss = valid_logs["base"].get("validation loss", None)
                 if (not self.params.skip_validation) and (
-                        (not best_saved) or (vloss is not None and vloss <= best_valid_loss)):
+                        (not best_saved) or (vloss is not None and vloss <= self.best_valid_loss)):
                     self.save_checkpoint(best_path)
                     if vloss is not None:
-                        best_valid_loss = vloss
+                        self.best_valid_loss = vloss
 
             epoch_end = time.time()
             timing_logs = {
@@ -756,8 +762,14 @@ class Trainer:
         logger.info(separator)
 
     def save_checkpoint(self, checkpoint_path, checkpoint_mode=None):
+        # full resume state: scheduler/plateau internals, best-so-far valid
+        # loss and the dropout key stream root (the reference checkpoints the
+        # full optimizer/scheduler state dicts, ref: trainer.py:949-969)
         counters = {"iters": self.iters, "epoch": self.epoch,
-                    "scheduler_epoch": self.scheduler.epoch}
+                    "scheduler_epoch": self.scheduler.epoch,
+                    "scheduler_state": self.scheduler.state_dict(),
+                    "best_valid_loss": self.best_valid_loss,
+                    "dropout_key": np.asarray(self.dropout_key).tolist()}
         if checkpoint_path == self.params.checkpoint_path:
             # per-epoch training checkpoints: versioned async manager with
             # keep-N retention (ref behavior: per-epoch ckpt + resume,
@@ -787,6 +799,13 @@ class Trainer:
             self.epoch = counters.get("epoch", 0)
             self.startEpoch = self.epoch
             self.scheduler.epoch = counters.get("scheduler_epoch", 0)
+            if self.params.get("load_scheduler", True) and "scheduler_state" in counters:
+                self.scheduler.load_state_dict(counters["scheduler_state"])
+            if "best_valid_loss" in counters:
+                self.best_valid_loss = float(counters["best_valid_loss"])
+            if counters.get("dropout_key") is not None:
+                self.dropout_key = jnp.asarray(
+                    np.asarray(counters["dropout_key"], dtype=np.uint32))
 
     # ------------------------------------------------------------------
     # debug / self-test harness

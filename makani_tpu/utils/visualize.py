@@ -105,10 +105,10 @@ def write_mjpeg_avi(frames, out_path, fps=4, quality=90):
     for t in range(T):
         buf = io.BytesIO()
         Image.fromarray(frames[t]).save(buf, format="JPEG", quality=quality)
-        data = buf.getvalue()
-        if len(data) % 2:
-            data += b"\x00"
-        encoded.append(data)
+        # store the UNPADDED payload: RIFF chunk sizes must exclude the
+        # odd-length pad byte, which chunk() appends outside the recorded
+        # length (strict parsers reject sizes that include padding)
+        encoded.append(buf.getvalue())
     max_size = max(len(d) for d in encoded)
 
     def chunk(fourcc, payload):

@@ -138,6 +138,13 @@ class _FileBackend:
         """Functional watch: immediately logs parameter histograms for the
         given pytree (call again periodically — there are no module hooks
         to install on a functional model)."""
+        if log == "gradients" or ("log_freq" in kwargs or log_freq != 100):
+            import logging
+            logging.getLogger(__name__).warning(
+                "wandb fallback watch(): periodic %r tracking (log_freq=%s) is "
+                "not supported without module hooks; logging a one-shot "
+                "parameter-histogram snapshot instead — re-call watch() on "
+                "your own cadence for periodic snapshots", log, log_freq)
         if tree is not None:
             self.log({"watch": tree_histograms(tree, prefix="param/")})
 
