@@ -544,15 +544,18 @@ class Trainer:
             # would deadlock multi-process runs); writes are async so the
             # next epoch overlaps the persist
             if self.params.save_checkpoint != "none":
-                self.save_checkpoint(self.params.checkpoint_path)
                 best_path = self.params.best_checkpoint_path
                 best_saved = ckpt_lib.checkpoint_exists(best_path)
                 vloss = valid_logs["base"].get("validation loss", None)
-                if (not self.params.skip_validation) and (
-                        (not best_saved) or (vloss is not None and vloss <= self.best_valid_loss)):
+                is_best = (not self.params.skip_validation) and (
+                    (not best_saved) or (vloss is not None and vloss <= self.best_valid_loss))
+                # update best BEFORE writing so the per-epoch checkpoint's
+                # counters carry this epoch's value (resume equivalence)
+                if is_best and vloss is not None:
+                    self.best_valid_loss = vloss
+                self.save_checkpoint(self.params.checkpoint_path)
+                if is_best:
                     self.save_checkpoint(best_path)
-                    if vloss is not None:
-                        self.best_valid_loss = vloss
 
             epoch_end = time.time()
             timing_logs = {
@@ -806,6 +809,14 @@ class Trainer:
             if counters.get("dropout_key") is not None:
                 self.dropout_key = jnp.asarray(
                     np.asarray(counters["dropout_key"], dtype=np.uint32))
+            # realign the loader's epoch counter: the shuffle permutation is
+            # seeded (base_seed + loader.epoch), so without this a resumed
+            # run replays epoch 0's data order instead of continuing the
+            # schedule (ref: GeneralES reshuffles by global epoch,
+            # dali_es_helper_2d.py:441-457)
+            for dl in (self.train_dataloader, self.valid_dataloader):
+                if hasattr(dl, "epoch"):
+                    dl.epoch = self.epoch
 
     # ------------------------------------------------------------------
     # debug / self-test harness

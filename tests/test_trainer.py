@@ -91,6 +91,59 @@ def test_trainer_checkpoint_roundtrip(tmp_path):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
 
 
+def test_trainer_resume_equivalence(tmp_path):
+    """Interrupted-then-resumed training must reproduce an uninterrupted run
+    exactly: optimizer/scheduler/plateau state, best-valid-loss, data order
+    (loader epoch) and dropout stream are all checkpointed (VERDICT r2 #4;
+    ref: makani/utils/trainer.py:949-969 checkpoints full state dicts)."""
+    import jax
+    import numpy as np
+    from makani_tpu.utils.trainer import Trainer
+
+    common = dict(
+        save_checkpoint="flexible",
+        # plateau scheduler with zero patience: its runtime state (best /
+        # bad_epochs / decayed scale) must survive the restart
+        scheduler="ReduceLROnPlateau",
+        scheduler_patience=0,
+        scheduler_factor=0.1,
+        lr=3e-4,
+        n_train_samples_per_epoch=4,
+        n_eval_samples=2,
+        valid_autoreg_steps=0,
+    )
+
+    # uninterrupted: 4 epochs in one go
+    params_a = _trainer_params(tmp_path / "a", max_epochs=4, **common)
+    ta = Trainer(params_a, world_rank=0)
+    ta.train()
+
+    # interrupted: 2 epochs, fresh process-equivalent, resume to 4
+    params_b1 = _trainer_params(tmp_path / "b", max_epochs=2, **common)
+    tb1 = Trainer(params_b1, world_rank=0)
+    tb1.train()
+
+    params_b2 = _trainer_params(tmp_path / "b", max_epochs=4, **common)
+    params_b2["resuming"] = True
+    tb2 = Trainer(params_b2, world_rank=0)
+    assert tb2.startEpoch == 2
+    assert tb2.scheduler.state_dict() == tb1.scheduler.state_dict()
+    assert tb2.best_valid_loss == tb1.best_valid_loss
+    assert tb2.train_dataloader.epoch == 2  # data order continues, not replays
+    tb2.train()
+
+    assert tb2.iters == ta.iters
+    assert tb2.scheduler.state_dict() == ta.scheduler.state_dict()
+    np.testing.assert_allclose(tb2._last_train_loss, ta._last_train_loss,
+                               rtol=1e-5)
+    np.testing.assert_allclose(
+        tb2.best_valid_loss, ta.best_valid_loss, rtol=1e-5)
+    for x, y in zip(jax.tree.leaves(ta.model_params),
+                    jax.tree.leaves(tb2.model_params)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=2e-5, atol=1e-7)
+
+
 def test_autoregression_pipeline(tmp_path):
     """DebugNet identity AR plumbing self-test (ref: trainer.py:1113-1220)."""
     from makani_tpu.utils.trainer import Trainer
