@@ -112,9 +112,16 @@ def init_dataset(path, params, n_samples_per_year=20, n_years=2, start_year=2017
     np.save(os.path.join(stats_dir, "time_diff_means.npy"), np.zeros((1, n_channels, 1, 1), np.float32))
     np.save(os.path.join(stats_dir, "time_diff_stds.npy"), np.ones((1, n_channels, 1, 1), np.float32))
 
-    params.train_data_path = train_dir
-    params.valid_data_path = valid_dir
-    params.inf_data_path = valid_dir
+    return set_dataset_paths(path, params)
+
+
+def set_dataset_paths(path, params):
+    """Point params at a dataset dir previously written by init_dataset
+    (read-only: lets subprocess ranks share one dataset without re-writing)."""
+    stats_dir = os.path.join(path, "stats")
+    params.train_data_path = os.path.join(path, "train")
+    params.valid_data_path = os.path.join(path, "test")
+    params.inf_data_path = params.valid_data_path
     params.min_path = os.path.join(stats_dir, "mins.npy")
     params.max_path = os.path.join(stats_dir, "maxs.npy")
     params.time_means_path = os.path.join(stats_dir, "time_means.npy")
