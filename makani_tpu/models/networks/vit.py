@@ -13,6 +13,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from makani_tpu.models.common import DropPath, PatchEmbed
+from makani_tpu.models.common.attention import scaled_dot_product_attention
 
 
 def _trunc02(key, shape, dtype=jnp.float32):
@@ -39,11 +40,20 @@ class Attention(nn.Module):
         qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # B, N, H, D
 
-        attn = jnp.einsum("bnhd,bmhd->bhnm", q, k) * scale
-        attn = jax.nn.softmax(attn, axis=-1)
-        if self.attn_drop_rate > 0.0:
+        if self.attn_drop_rate > 0.0 and not deterministic:
+            # dropout on attention probabilities requires the materialized
+            # matrix — only shipped configs with attn_drop>0 pay the O(N^2)
+            attn = jnp.einsum("bnhd,bmhd->bhnm", q, k) * scale
+            attn = jax.nn.softmax(attn, axis=-1)
             attn = nn.Dropout(rate=self.attn_drop_rate)(attn, deterministic=deterministic)
-        y = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B, N, C)
+            y = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B, N, C)
+        else:
+            # fused memory-efficient attention (the reference rides torch
+            # F.scaled_dot_product_attention, ref: makani/mpu/layers.py:512):
+            # O(N*block) memory makes the 0.25-degree 16k-token ViT feasible
+            q, k, v = (jnp.transpose(t, (0, 2, 1, 3)) for t in (q, k, v))
+            y = scaled_dot_product_attention(q, k, v, scale=scale)
+            y = jnp.transpose(y, (0, 2, 1, 3)).reshape(B, N, C)
 
         y = nn.Dense(C, kernel_init=_trunc02, name="proj")(y)
         if self.proj_drop_rate > 0.0:
