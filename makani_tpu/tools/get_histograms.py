@@ -1,7 +1,10 @@
 """Per-channel histograms over yearly HDF5 files.
 
 Capability parity with ref: data_process/get_histograms.py (MPI-parallel);
-process-pool parallel here. Outputs histograms.npy (C, bins) and
+process-pool parallel here, STREAMED in bounded time-chunks so real
+73-channel 0.25-degree years (~600 GB each) never load into RAM (the
+reference streams with 1 GB-chunked MPI allgathers, ref: data_process/
+get_stats.py). Outputs histograms.npy (C, bins) and
 histogram_bin_edges.npy (C, bins+1).
 """
 
@@ -13,24 +16,41 @@ from concurrent.futures import ProcessPoolExecutor
 import numpy as np
 import h5py
 
+# time-steps per streamed read, sized so a chunk stays ~1 GB at
+# 73 x 721 x 1440 f32 (~300 MB/step -> 4 steps)
+_DEFAULT_CHUNK_BYTES = 1 << 30
+
+
+def _chunk_steps(ds):
+    bytes_per_step = int(np.prod(ds.shape[1:])) * ds.dtype.itemsize
+    return max(1, _DEFAULT_CHUNK_BYTES // max(bytes_per_step, 1))
+
 
 def _channel_minmax(args):
     path, dataset_path = args
     with h5py.File(path, "r") as f:
         ds = f[dataset_path]
-        mins = ds[:].min(axis=(0, 2, 3))
-        maxs = ds[:].max(axis=(0, 2, 3))
+        step = _chunk_steps(ds)
+        mins = np.full(ds.shape[1], np.inf, dtype=np.float64)
+        maxs = np.full(ds.shape[1], -np.inf, dtype=np.float64)
+        for t0 in range(0, ds.shape[0], step):
+            block = ds[t0: t0 + step]
+            np.minimum(mins, block.min(axis=(0, 2, 3)), out=mins)
+            np.maximum(maxs, block.max(axis=(0, 2, 3)), out=maxs)
     return mins, maxs
 
 
 def _file_histogram(args):
     path, dataset_path, edges = args
     with h5py.File(path, "r") as f:
-        data = f[dataset_path][:]
-    C = data.shape[1]
-    counts = np.stack([
-        np.histogram(data[:, c].ravel(), bins=edges[c])[0] for c in range(C)
-    ])
+        ds = f[dataset_path]
+        C = ds.shape[1]
+        step = _chunk_steps(ds)
+        counts = np.zeros((C, edges.shape[1] - 1), dtype=np.int64)
+        for t0 in range(0, ds.shape[0], step):
+            block = ds[t0: t0 + step]
+            for c in range(C):
+                counts[c] += np.histogram(block[:, c].ravel(), bins=edges[c])[0]
     return counts
 
 
