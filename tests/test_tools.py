@@ -117,3 +117,61 @@ def test_create_merged_partial_write_and_validation(tmp_path):
         f.create_dataset("u10", data=u10[:, :-1])
     with pytest.raises(ValueError):
         run(year, str(out), str(src), ["u10"], num_smooths=2, dlat=dlat)
+
+
+def test_h5_align_roundtrip_and_alignment(tmp_path):
+    """h5_align rewrites files with aligned dataset offsets (O_DIRECT
+    parity, ref: data_process/h5_align.py): data roundtrips exactly, the
+    offset is a multiple of align_size, and --transpose emits NHWC."""
+    from makani_tpu.tools.h5_align import align_file, verify_file
+
+    data = np.random.RandomState(0).randn(6, 3, 8, 16).astype(np.float32)
+    src = str(tmp_path / "1979.h5")
+    with h5py.File(src, "w") as f:
+        f.create_dataset("fields", data=data)
+
+    dst = str(tmp_path / "aligned" / "1979.h5")
+    import os
+    os.makedirs(os.path.dirname(dst))
+    align_file(src, dst, batch_size=4, align_size_bytes=4096)
+    shape, offset, aligned = verify_file(dst, align_size_bytes=4096)
+    assert shape == data.shape and aligned, (shape, offset)
+    with h5py.File(dst, "r") as f:
+        np.testing.assert_array_equal(f["fields"][:], data)
+
+    dst_t = str(tmp_path / "aligned" / "1979_nhwc.h5")
+    align_file(src, dst_t, batch_size=4, transpose=True)
+    with h5py.File(dst_t, "r") as f:
+        np.testing.assert_array_equal(f["fields"][:],
+                                      np.transpose(data, (0, 2, 3, 1)))
+
+
+def test_parallel_copy_assembles_channels(tmp_path):
+    """parallel_copy shards per-variable sources over time and assembles
+    the multi-channel yearly file (ref: data_process/parallel_copy.py)."""
+    from makani_tpu.tools.parallel_copy import parallel_copy
+
+    rng = np.random.RandomState(1)
+    nt, ny, nx = 10, 6, 12
+    srcs = {}
+    for name in ("u", "v", "z"):
+        p = str(tmp_path / f"{name}.nc")
+        with h5py.File(p, "w") as f:
+            # NetCDF-style singleton level axis on one of them
+            shape = (nt, 1, ny, nx) if name == "z" else (nt, ny, nx)
+            f.create_dataset(name, data=rng.randn(*shape).astype(np.float32))
+        srcs[name] = p
+
+    plan = [{"src": srcs["u"], "var": "u", "channel": 0},
+            {"src": srcs["v"], "var": "v", "channel": 1},
+            {"src": srcs["z"], "var": "z", "channel": 2}]
+    dest = str(tmp_path / "1979.h5")
+    parallel_copy(plan, dest, n_channels=3, workers=2, batch=3)
+
+    with h5py.File(dest, "r") as f:
+        out = f["fields"][:]
+    assert out.shape == (nt, 3, ny, nx)
+    for i, name in enumerate(("u", "v", "z")):
+        with h5py.File(srcs[name], "r") as f:
+            src_data = f[name][:]
+        np.testing.assert_array_equal(out[:, i], src_data.reshape(nt, ny, nx))
