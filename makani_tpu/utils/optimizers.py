@@ -12,8 +12,91 @@ patched torch optimizers (ref: makani/third_party/torch/optim/*).
 """
 
 import math
+from typing import NamedTuple
 
+import jax
+import jax.numpy as jnp
 import optax
+
+
+class _LowMemAdamState(NamedTuple):
+    count: jnp.ndarray
+    mu: object
+    nu: object
+    key: jnp.ndarray
+
+
+def _stochastic_round(x, target_dtype, key):
+    """Round f32 -> target_dtype with probability proportional to the
+    fractional distance between the two representable neighbours: the
+    rounding error is zero-mean, so moment accumulators don't drift the way
+    round-to-nearest bf16 buffers do over thousands of steps.
+
+    bf16 shares f32's exponent, so stochastic rounding is the classic
+    bit trick: add uniform noise to the 16 bits about to be truncated,
+    then truncate. Other dtypes fall back to round-to-nearest."""
+    if target_dtype != jnp.bfloat16:
+        return x.astype(target_dtype)
+    bits = jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.uint32)
+    noise = jax.random.bits(key, x.shape, dtype=jnp.uint32) & jnp.uint32(0xFFFF)
+    bits = (bits + noise) & jnp.uint32(0xFFFF0000)
+    return jax.lax.bitcast_convert_type(bits, jnp.float32).astype(jnp.bfloat16)
+
+
+def scale_by_adam_lowmem(b1=0.9, b2=0.999, eps=1e-8,
+                         moment_dtype=jnp.bfloat16,
+                         stochastic_rounding=True, seed=1234):
+    """Adam with reduced-precision moment buffers (the optimizer-memory
+    lever that fits the edim384 flagship's ~7 GB Adam state on a 16 GB
+    chip): mu/nu are STORED in `moment_dtype` (bf16 halves the state), all
+    update math runs in f32, and the write-back optionally uses stochastic
+    rounding so the quantization error is unbiased. Accuracy pinned by
+    tests/test_trainer.py::test_lowmem_adam_matches_f32_adam and the
+    BENCH_NOTES moment-dtype study."""
+
+    def init_fn(params):
+        mu = jax.tree.map(lambda p: jnp.zeros_like(p, dtype=moment_dtype), params)
+        nu = jax.tree.map(lambda p: jnp.zeros_like(p, dtype=moment_dtype), params)
+        return _LowMemAdamState(count=jnp.zeros([], jnp.int32), mu=mu, nu=nu,
+                                key=jax.random.PRNGKey(seed))
+
+    def update_fn(updates, state, params=None):
+        del params
+        count = state.count + 1
+        key = jax.random.fold_in(state.key, count)
+        leaves = jax.tree.leaves(updates)
+        keys = jax.random.split(key, 2 * max(len(leaves), 1))
+
+        flat_g, treedef = jax.tree.flatten(updates)
+        flat_mu = treedef.flatten_up_to(state.mu)
+        flat_nu = treedef.flatten_up_to(state.nu)
+
+        new_mu, new_nu, out = [], [], []
+        bc1 = 1.0 - b1 ** count.astype(jnp.float32)
+        bc2 = 1.0 - b2 ** count.astype(jnp.float32)
+        for i, (g, mu, nu) in enumerate(zip(flat_g, flat_mu, flat_nu)):
+            g32 = g.astype(jnp.float32)
+            mu32 = b1 * mu.astype(jnp.float32) + (1.0 - b1) * g32
+            nu32 = b2 * nu.astype(jnp.float32) + (1.0 - b2) * (g32 * g32)
+            if moment_dtype == jnp.float32:
+                mu_q, nu_q = mu32, nu32
+            elif stochastic_rounding:
+                mu_q = _stochastic_round(mu32, moment_dtype, keys[2 * i])
+                nu_q = _stochastic_round(nu32, moment_dtype, keys[2 * i + 1])
+            else:
+                mu_q = mu32.astype(moment_dtype)
+                nu_q = nu32.astype(moment_dtype)
+            new_mu.append(mu_q)
+            new_nu.append(nu_q)
+            out.append(((mu32 / bc1) / (jnp.sqrt(nu32 / bc2) + eps)).astype(g.dtype))
+
+        return (jax.tree.unflatten(treedef, out),
+                _LowMemAdamState(count=count,
+                                 mu=jax.tree.unflatten(treedef, new_mu),
+                                 nu=jax.tree.unflatten(treedef, new_nu),
+                                 key=state.key))
+
+    return optax.GradientTransformation(init_fn, update_fn)
 
 
 def build_optimizer(params):
@@ -32,17 +115,36 @@ def build_optimizer(params):
     # (ref: makani/train.py:50,72 and no use site); here it scales Adam eps
     eps = 1e-8 * (10.0 ** float(params.get("epsilon_factor", 0) or 0))
 
+    # optimizer-memory lever: 'bfloat16' halves Adam moment-buffer HBM
+    # (see scale_by_adam_lowmem); default keeps exact-f32 reference parity
+    moment_dtype = params.get("optimizer_moment_dtype", "float32")
+    stochastic = bool(params.get("optimizer_stochastic_rounding", True))
+
+    def adam():
+        if moment_dtype in (None, "float32", "fp32"):
+            return optax.scale_by_adam(b1=b1, b2=b2, eps=eps)
+        dtypes = {"bfloat16": jnp.bfloat16, "bf16": jnp.bfloat16,
+                  "float16": jnp.float16, "fp16": jnp.float16}
+        return scale_by_adam_lowmem(
+            b1=b1, b2=b2, eps=eps, moment_dtype=dtypes[moment_dtype],
+            stochastic_rounding=stochastic,
+            seed=params.get("global_seed", 333) + 7)
+
     if opt_type == "Adam":
-        tx.append(optax.scale_by_adam(b1=b1, b2=b2, eps=eps))
+        tx.append(adam())
     elif opt_type == "AdamW":
-        tx.append(optax.scale_by_adam(b1=b1, b2=b2, eps=eps))
+        tx.append(adam())
         if wd > 0:
             tx.append(optax.add_decayed_weights(wd))
     elif opt_type in ("FusedLAMB", "LAMB"):
-        tx.append(optax.scale_by_adam(b1=b1, b2=b2, eps=eps))
+        tx.append(adam())
         if wd > 0:
             tx.append(optax.add_decayed_weights(wd))
         tx.append(optax.scale_by_trust_ratio())
+    elif opt_type == "Adafactor":
+        # factored second moment: O(rows+cols) state instead of O(n) — the
+        # strongest memory lever for single-chip flagship widths
+        tx.append(optax.scale_by_factored_rms())
     elif opt_type == "SGD":
         momentum = params.get("momentum", 0.0)
         if momentum > 0:

@@ -228,6 +228,73 @@ def test_build_optimizer_epsilon_factor():
     assert step_norm(0.0) > 100 * step_norm(12.0)
 
 
+def test_lowmem_adam_matches_f32_adam():
+    """bf16-moment Adam with stochastic rounding (the edim384 optimizer-
+    memory lever) tracks exact-f32 Adam: same trajectory to ~bf16 moment
+    precision over 50 steps on a quadratic."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from makani_tpu.utils.optimizers import scale_by_adam_lowmem
+
+    def run(tx):
+        p = jnp.asarray(np.linspace(-2, 2, 64), jnp.float32)
+        target = jnp.asarray(np.random.RandomState(0).randn(64), jnp.float32)
+        state = tx.init(p)
+
+        @jax.jit
+        def step(p, state):
+            g = jax.grad(lambda q: jnp.sum((q - target) ** 2))(p)
+            upd, state = tx.update(g, state, p)
+            return p - 1e-2 * upd, state
+
+        for _ in range(50):
+            p, state = step(p, state)
+        return np.asarray(p)
+
+    ref = run(optax.scale_by_adam(b1=0.9, b2=0.95, eps=1e-8))
+    low = run(scale_by_adam_lowmem(b1=0.9, b2=0.95, eps=1e-8,
+                                   moment_dtype=jnp.bfloat16,
+                                   stochastic_rounding=True))
+    np.testing.assert_allclose(low, ref, rtol=0, atol=2e-2)
+    exact = run(scale_by_adam_lowmem(b1=0.9, b2=0.95, eps=1e-8,
+                                     moment_dtype=jnp.float32))
+    np.testing.assert_allclose(exact, ref, rtol=0, atol=1e-6)
+
+
+def test_stochastic_rounding_unbiased():
+    """Mean of many stochastic bf16 roundings converges to the f32 value
+    (round-to-nearest would sit a one-sided quantum away)."""
+    import jax
+    import jax.numpy as jnp
+    from makani_tpu.utils.optimizers import _stochastic_round
+
+    x = jnp.full((20000,), 1.0 + 1 / 512.0, jnp.float32)  # between bf16 points
+    r = _stochastic_round(x, jnp.bfloat16, jax.random.PRNGKey(0))
+    mean = float(jnp.mean(r.astype(jnp.float32)))
+    nearest = float(jnp.asarray(1.0 + 1 / 512.0, jnp.bfloat16))
+    assert abs(mean - (1.0 + 1 / 512.0)) < 1e-4, mean
+    assert abs(nearest - (1.0 + 1 / 512.0)) > 5e-4  # RTN really is biased here
+
+
+def test_trainer_lowmem_moments_end_to_end(tmp_path):
+    """Trainer runs + checkpoints round-trip with bf16 moment buffers."""
+    from makani_tpu.utils.trainer import Trainer
+
+    params = _trainer_params(tmp_path, optimizer_moment_dtype="bfloat16",
+                             save_checkpoint="flexible")
+    trainer = Trainer(params, world_rank=0)
+    trainer.train()
+    assert trainer.iters > 0
+    assert np.isfinite(trainer.metrics.logs["base"]["validation loss"])
+
+    params2 = _trainer_params(tmp_path, optimizer_moment_dtype="bfloat16",
+                              save_checkpoint="flexible")
+    params2["resuming"] = True
+    trainer2 = Trainer(params2, world_rank=0)
+    assert trainer2.epoch == trainer.epoch
+
+
 def test_trainer_auto_layouts_serial(tmp_path):
     """The AUTO-layouts AOT path (default-on for real single-chip runs):
     a 1-device mesh with enable_auto_layouts=True must train 2 epochs (the
