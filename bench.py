@@ -161,13 +161,15 @@ def main():
         enable_pallas_kernels(True)
 
     # flagship first; on single-chip OOM step the width down so the driver
-    # always gets a number (the full 73ch/edim384 model targets multi-chip
-    # sharding — its optimizer state alone is ~7GB)
+    # always gets a number. The TRUE flagship (edim384, ref:
+    # config/sfnonet.yaml:162-173) fits the 16GB chip with bf16 Adam moment
+    # buffers (utils/optimizers.scale_by_adam_lowmem halves the ~4.6GB
+    # moment state; accuracy pinned in tests + BENCH_NOTES), so it is now
+    # the default. Step-downs fall back to edim320/f32 moments (the round-2
+    # headline config).
     import gc
 
-    # default = largest config known to fit this 16GB chip; the true
-    # edim-384 flagship (multi-chip target) is opt-in via BENCH_EMBED=384
-    embed_ladder = [int(os.environ.get("BENCH_EMBED", 320)), 256, 192, 128]
+    embed_ladder = [int(os.environ.get("BENCH_EMBED", 384)), 320, 256, 192, 128]
     last_msg = None
     for embed in dict.fromkeys(embed_ladder):
         try:
@@ -269,7 +271,20 @@ def run_train_bench(embed):
         checkpointing=checkpointing, scan_layers=scan_layers,
     )
 
-    tx = optax.chain(optax.clip_by_global_norm(32.0), optax.adam(1e-3))
+    # bf16 moment buffers by default at the edim384 width (the memory lever
+    # that makes the canonical flagship fit 16GB); BENCH_MOMENT_DTYPE
+    # overrides either way
+    moment_dtype = os.environ.get(
+        "BENCH_MOMENT_DTYPE", "bfloat16" if embed >= 384 else "float32")
+    if moment_dtype == "float32":
+        adam = optax.adam(1e-3)
+    else:
+        from makani_tpu.utils.optimizers import scale_by_adam_lowmem
+        adam = optax.chain(
+            scale_by_adam_lowmem(b1=0.9, b2=0.999, eps=1e-8,
+                                 moment_dtype=jnp.bfloat16),
+            optax.scale(-1e-3))
+    tx = optax.chain(optax.clip_by_global_norm(32.0), adam)
 
     def init_fn(key, x):
         variables = model.init(key, x)
@@ -366,6 +381,23 @@ def run_train_bench(embed):
 
     steps_per_sec = n_iters / dt
 
+    # per-step model FLOPs (XLA client-side cost analysis) so throughput is
+    # comparable across config changes (edim320 -> edim384): when the prev
+    # record is a different config, vs_baseline is the SUSTAINED-FLOPS ratio
+    # (steps/s x flops/step), not raw steps/s
+    flops_per_step = None
+    try:
+        ca = jax.jit(step_with_tables, donate_argnums=(0, 1)).lower(
+            params, opt_state, x, y, tables).cost_analysis()
+        if ca and ca.get("flops"):
+            flops_per_step = float(ca["flops"])
+    except Exception as e:
+        print(f"# cost analysis unavailable: {e}", file=sys.stderr, flush=True)
+
+    prec_tag = os.environ.get("_BENCH_PREC_TAG", "high")
+    metric = (f"SFNO-{chans}ch {nlat}x{nlon} edim{embed} L{layers} "
+              f"bf16/{prec_tag} train throughput")
+
     vs_baseline = 1.0
     prev_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_prev.json")
     if os.path.exists(prev_path):
@@ -373,18 +405,27 @@ def run_train_bench(embed):
             with open(prev_path) as f:
                 prev = json.load(f)
             if prev.get("value"):
-                vs_baseline = steps_per_sec / float(prev["value"])
+                same_cfg = f"edim{embed}" in prev.get("metric", metric)
+                if same_cfg:
+                    vs_baseline = steps_per_sec / float(prev["value"])
+                elif flops_per_step and prev.get("flops_per_step"):
+                    vs_baseline = (steps_per_sec * flops_per_step) / (
+                        float(prev["value"]) * float(prev["flops_per_step"]))
+                else:
+                    print("# prev record is a different config without flops; "
+                          "vs_baseline=1.0", file=sys.stderr, flush=True)
         except Exception:
             pass
 
-    prec_tag = os.environ.get("_BENCH_PREC_TAG", "high")
-    print(json.dumps({
-        "metric": f"SFNO-{chans}ch {nlat}x{nlon} edim{embed} L{layers} "
-                  f"bf16/{prec_tag} train throughput",
+    out = {
+        "metric": metric,
         "value": round(steps_per_sec, 4),
         "unit": "steps/sec/chip",
         "vs_baseline": round(vs_baseline, 4),
-    }))
+    }
+    if flops_per_step:
+        out["flops_per_step"] = flops_per_step
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
