@@ -133,6 +133,86 @@ def bench_loader():
     }))
 
 
+def bench_loader_gate():
+    """Flagship-rate loader gate (VERDICT r2 #7): drives PrefetchingLoader +
+    the native BinaryDataset at the full 73ch 721x1440 sample shape and
+    checks sustained throughput against what the train step consumes
+    (steps/s x bytes/step). Set BENCH_STEPS to the measured train rate
+    (default: the current flagship number) and BENCH_COLD=1 to drop the
+    page cache first (needs root; the native loader's O_DIRECT preads
+    bypass it anyway)."""
+    import tempfile
+
+    from makani_tpu.parallel import comm
+    import jax
+    comm.reset()
+    comm.init(devices=jax.devices()[:1])
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
+    from testutils import get_default_parameters, init_dataset
+    from makani_tpu.data import get_dataloader
+    from makani_tpu.data.native_loader import convert_h5_to_bin
+
+    nlat = int(os.environ.get("BENCH_NLAT", 721))
+    nlon = int(os.environ.get("BENCH_NLON", 1440))
+    chans = int(os.environ.get("BENCH_CHANS", 73))
+    samples = int(os.environ.get("BENCH_SAMPLES", 12))
+    steps_per_s = float(os.environ.get("BENCH_STEPS", 3.59))
+
+    tmp = tempfile.mkdtemp(dir=os.environ.get("BENCH_TMPDIR"))
+    params = get_default_parameters()
+    params["img_shape_x"], params["img_shape_y"] = nlat, nlon
+    params["in_channels"] = list(range(chans))
+    params["out_channels"] = list(range(chans))
+    params["channel_names"] = [f"c{i}" for i in range(chans)]
+    print(f"# writing {samples} flagship samples "
+          f"({samples * chans * nlat * nlon * 4 / 1e9:.1f} GB h5 + bin)...",
+          file=sys.stderr, flush=True)
+    params = init_dataset(tmp, params, n_samples_per_year=samples, n_years=1)
+    params["batch_size"] = 1
+    params["num_data_workers"] = int(os.environ.get("BENCH_WORKERS", 4))
+
+    bin_dir = os.path.join(tmp, "bin")
+    convert_h5_to_bin(params.train_data_path, bin_dir)
+
+    if int(os.environ.get("BENCH_COLD", 1)):
+        try:
+            with open("/proc/sys/vm/drop_caches", "w") as f:
+                f.write("3\n")
+            print("# page cache dropped", file=sys.stderr, flush=True)
+        except OSError as e:
+            print(f"# could not drop page cache ({e}); native loader uses "
+                  "O_DIRECT regardless", file=sys.stderr, flush=True)
+
+    loader, _ = get_dataloader(params, bin_dir, train=True)
+    nbytes, nbatches = 0, 0
+    t0 = time.perf_counter()
+    for _ in range(2):
+        for batch in loader:
+            nbytes += sum(b.nbytes for b in batch)
+            nbatches += 1
+    dt = time.perf_counter() - t0
+    gbs = nbytes / dt / 1e9
+
+    # a train step consumes one (inp, tar) pair per batch element
+    bytes_per_step = 2 * chans * nlat * nlon * 4
+    required = steps_per_s * bytes_per_step / 1e9
+    ok = gbs >= required
+    import shutil
+    shutil.rmtree(tmp, ignore_errors=True)
+
+    print(json.dumps({
+        "metric": f"native loader sustained rate {chans}ch {nlat}x{nlon} "
+                  f"(required {required:.2f} GB/s @ {steps_per_s} steps/s)",
+        "value": round(gbs, 3),
+        "unit": "GB/s",
+        "vs_baseline": round(gbs / required, 3),
+        "gate": "pass" if ok else "FAIL",
+    }))
+    if not ok:
+        sys.exit(1)
+
+
 def main():
     import jax
 
@@ -140,6 +220,8 @@ def main():
         return bench_sht()
     if os.environ.get("BENCH_MODE", "train") == "loader":
         return bench_loader()
+    if os.environ.get("BENCH_MODE", "train") == "loader_gate":
+        return bench_loader_gate()
     if os.environ.get("BENCH_MODE", "train") == "afno":
         return bench_afno()
 

@@ -186,12 +186,21 @@ int loader_read_window(void* handle, int file_idx, int64_t sample_start,
 // ref capability: dali_es_helper_2d.py:276-285,494-501) and the
 // channel-subset path (in_channels/out_channels selections read only the
 // requested channels instead of slicing in numpy afterwards).
+//
+// bias/inv_scale (nullable, length n_chan, indexed by OUTPUT channel
+// position) fuse the z-score normalization into the read workers:
+// out = (raw - bias[c]) * inv_scale[c]. This is the DALI-analog fused
+// normalize stage (ref: data_loader_dali_2d.py normalization ops) — doing
+// it here keeps the Python side zero-copy and runs the arithmetic in the
+// pool threads while other reads are in flight.
+//
 // Parallelized per (sample, channel) across the thread pool; full-width
 // windows collapse to one contiguous pread per channel.
-int loader_read_subwindow(void* handle, int file_idx, int64_t sample_start,
-                          int64_t n_window, const int* chans, int n_chan,
-                          int64_t H, int64_t W, int64_t x0, int64_t nx,
-                          int64_t y0, int64_t ny, char* out) {
+int loader_read_subwindow_norm(void* handle, int file_idx, int64_t sample_start,
+                               int64_t n_window, const int* chans, int n_chan,
+                               int64_t H, int64_t W, int64_t x0, int64_t nx,
+                               int64_t y0, int64_t ny, const float* bias,
+                               const float* inv_scale, char* out) {
   Loader* L = static_cast<Loader*>(handle);
   const int64_t item = 4;  // float32
   const int64_t row_bytes = W * item;
@@ -220,6 +229,13 @@ int loader_read_subwindow(void* handle, int file_idx, int64_t sample_start,
                             base + r * row_bytes);
           }
         }
+        if (rc == 0 && bias != nullptr) {
+          float* v = reinterpret_cast<float*>(dst);
+          const float b = bias[c];
+          const float si = inv_scale[c];
+          const int64_t n = nx * ny;
+          for (int64_t i = 0; i < n; ++i) v[i] = (v[i] - b) * si;
+        }
         if (rc != 0) error.store(1);
         if (remaining.fetch_sub(1) == 1) {
           std::unique_lock<std::mutex> lock(mu);
@@ -232,6 +248,15 @@ int loader_read_subwindow(void* handle, int file_idx, int64_t sample_start,
   std::unique_lock<std::mutex> lock(mu);
   cv.wait(lock, [&remaining] { return remaining.load() == 0; });
   return error.load();
+}
+
+int loader_read_subwindow(void* handle, int file_idx, int64_t sample_start,
+                          int64_t n_window, const int* chans, int n_chan,
+                          int64_t H, int64_t W, int64_t x0, int64_t nx,
+                          int64_t y0, int64_t ny, char* out) {
+  return loader_read_subwindow_norm(handle, file_idx, sample_start, n_window,
+                                    chans, n_chan, H, W, x0, nx, y0, ny,
+                                    nullptr, nullptr, out);
 }
 
 }  // extern "C"

@@ -154,6 +154,10 @@ class PrefetchingLoader:
 
     def _collate(self, samples):
         n_fields = len(samples[0])
+        if len(samples) == 1:
+            # batch-1 (the flagship case): expand_dims is a VIEW — skip the
+            # np.stack copy of the ~600MB sample
+            return tuple(samples[0][i][None] for i in range(n_fields))
         return tuple(np.stack([s[i] for s in samples], axis=0) for i in range(n_fields))
 
     def __iter__(self):

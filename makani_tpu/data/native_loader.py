@@ -72,6 +72,14 @@ def get_lib():
             ctypes.POINTER(ctypes.c_int), ctypes.c_int,
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_int64, ctypes.c_int64, ctypes.c_char_p]
+        lib.loader_read_subwindow_norm.restype = ctypes.c_int
+        lib.loader_read_subwindow_norm.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.c_char_p]
         _LIB = lib
     return _LIB
 
@@ -158,17 +166,28 @@ class NativeReader:
             raise IOError("native window read failed")
         return out
 
-    def read_subwindow(self, file_idx, start, count, chans, x0, nx, y0, ny):
+    def read_subwindow(self, file_idx, start, count, chans, x0, nx, y0, ny,
+                       bias=None, inv_scale=None):
         """Read `count` consecutive samples' (chans, x0:x0+nx, y0:y0+ny)
         patches -> (count, len(chans), nx, ny). The io-sharded/channel-
-        subset read path."""
+        subset read path. bias/inv_scale (length len(chans)) fuse the
+        per-channel z-score normalization into the C++ read workers."""
         chans = np.asarray(chans, dtype=np.int32)
         C, H, W = self.sample_shape
         out = np.empty((count, len(chans), nx, ny), dtype=np.float32)
         c_chans = chans.ctypes.data_as(ctypes.POINTER(ctypes.c_int))
-        rc = self._lib.loader_read_subwindow(
+        fptr = ctypes.POINTER(ctypes.c_float)
+        if bias is None:
+            b_ptr = s_ptr = ctypes.cast(None, fptr)
+        else:
+            bias = np.ascontiguousarray(bias, dtype=np.float32)
+            inv_scale = np.ascontiguousarray(inv_scale, dtype=np.float32)
+            b_ptr = bias.ctypes.data_as(fptr)
+            s_ptr = inv_scale.ctypes.data_as(fptr)
+        rc = self._lib.loader_read_subwindow_norm(
             self._handle, file_idx, start, count, c_chans, len(chans),
-            H, W, x0, nx, y0, ny, out.ctypes.data_as(ctypes.c_char_p))
+            H, W, x0, nx, y0, ny, b_ptr, s_ptr,
+            out.ctypes.data_as(ctypes.c_char_p))
         if rc != 0:
             raise IOError("native subwindow read failed")
         return out
@@ -253,6 +272,18 @@ class BinaryDataset:
             self.out_bias = np.zeros((1, len(self.out_channels), 1, 1), np.float32)
             self.out_scale = np.ones((1, len(self.out_channels), 1, 1), np.float32)
 
+        # flattened per-selected-channel (bias, 1/scale) pairs for the fused
+        # C++ normalization; a shared read serves inp+tar when the channel
+        # selections and stats coincide (the flagship case)
+        self._in_norm = (self.in_bias.ravel().astype(np.float32),
+                         (1.0 / self.in_scale).ravel().astype(np.float32))
+        self._out_norm = (self.out_bias.ravel().astype(np.float32),
+                          (1.0 / self.out_scale).ravel().astype(np.float32))
+        self._shared_selection = (
+            np.array_equal(self.in_channels, self.out_channels)
+            and np.array_equal(self._in_norm[0], self._out_norm[0])
+            and np.array_equal(self._in_norm[1], self._out_norm[1]))
+
         if hasattr(params, "lat") and params.get("lat") is not None:
             lat, lon = np.asarray(params.lat), np.asarray(params.lon)
         else:
@@ -292,20 +323,21 @@ class BinaryDataset:
                       and np.array_equal(self.out_channels, np.arange(self.total_channels)))
         return not (full_spatial and full_chans)
 
-    def _read_frames(self, global_idx, chans):
-        """(n_history + n_future + 2, len(chans), nx, ny) frames at stride dt."""
+    def _read_frames(self, global_idx, chans, norm):
+        """(n_history + n_future + 2, len(chans), nx, ny) frames at stride
+        dt, z-score normalized in the C++ read workers (norm = (bias,
+        inv_scale) per selected channel)."""
         year_idx = bisect_right(self.year_offsets, global_idx) - 1
         local_idx = global_idx - self.year_offsets[year_idx]
         n_frames = self.n_history + self.n_future + 2
         (x0, y0), (nx, ny) = self.read_anchor, self.read_shape
+        bias, iscale = norm
 
         total = self.dt * (n_frames - 1) + 1
         if local_idx + total <= self.n_samples_year[year_idx]:
-            if self._windowed():
-                window = self.reader.read_subwindow(
-                    year_idx, local_idx, total, chans, x0, nx, y0, ny)
-            else:
-                window = self.reader.read_window(year_idx, local_idx, total)
+            window = self.reader.read_subwindow(
+                year_idx, local_idx, total, chans, x0, nx, y0, ny,
+                bias=bias, inv_scale=iscale)
             return window[:: self.dt]
         # year-boundary: per-frame reads
         frames = []
@@ -313,10 +345,9 @@ class BinaryDataset:
             g = global_idx + self.dt * off
             yi = bisect_right(self.year_offsets, g) - 1
             si = g - self.year_offsets[yi]
-            if self._windowed():
-                frames.append(self.reader.read_subwindow(yi, si, 1, chans, x0, nx, y0, ny)[0])
-            else:
-                frames.append(self.reader.read_batch([yi], [si])[0])
+            frames.append(self.reader.read_subwindow(
+                yi, si, 1, chans, x0, nx, y0, ny,
+                bias=bias, inv_scale=iscale)[0])
         return np.stack(frames, axis=0)
 
     def __getitem__(self, global_idx):
@@ -328,22 +359,16 @@ class BinaryDataset:
         year_idx = bisect_right(self.year_offsets, global_idx) - 1
         local_idx = global_idx - self.year_offsets[year_idx]
 
-        if self._windowed() and not np.array_equal(self.in_channels, self.out_channels):
-            # distinct channel selections: two windowed reads
-            inp = self._read_frames(global_idx, self.in_channels)[:n_inp]
-            tar = self._read_frames(global_idx, self.out_channels)[n_inp: n_inp + n_tar]
+        if self._shared_selection:
+            # one fused read+normalize serves both (channel stats agree);
+            # inp/tar are zero-copy views of the window
+            frames = self._read_frames(global_idx, self.in_channels, self._in_norm)
+            inp = frames[:n_inp]
+            tar = frames[n_inp: n_inp + n_tar]
         else:
-            chans = self.in_channels if self._windowed() else None
-            frames = self._read_frames(global_idx, chans)
-            if self._windowed():
-                inp = frames[:n_inp]
-                tar = frames[n_inp: n_inp + n_tar]
-            else:
-                inp = frames[:n_inp][:, self.in_channels]
-                tar = frames[n_inp: n_inp + n_tar][:, self.out_channels]
-        inp = (inp - self.in_bias) / self.in_scale
-        tar = (tar - self.out_bias) / self.out_scale
-        result = (inp.astype(np.float32), tar.astype(np.float32))
+            inp = self._read_frames(global_idx, self.in_channels, self._in_norm)[:n_inp]
+            tar = self._read_frames(global_idx, self.out_channels, self._out_norm)[n_inp: n_inp + n_tar]
+        result = (inp, tar)
 
         if self.add_zenith:
             # zenith anchored at the most recent INPUT time (field windows
