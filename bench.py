@@ -241,6 +241,16 @@ def main():
     if int(os.environ.get("BENCH_PALLAS", 0)):
         from makani_tpu.ops.complex_ops import enable_pallas_kernels
         enable_pallas_kernels(True)
+    # coefficient engine: "stacked" keeps the SpectralConv coefficient stage
+    # in m-leading/l-major real planes (no complex64, no XLA relayouts
+    # between the Legendre and dhconv dots); "pallas" additionally runs the
+    # multi-pass VMEM-accumulating kernels (measured slower than XLA's native
+    # dots at flagship shapes — see BENCH_NOTES round 3)
+    eng = os.environ.get("BENCH_ENGINE")
+    if eng:
+        from makani_tpu.ops.sht import set_coeff_engine
+        set_coeff_engine(eng)
+        os.environ["_BENCH_PREC_TAG"] = f"{bp}/{eng}"
 
     # flagship first; on single-chip OOM step the width down so the driver
     # always gets a number. The TRUE flagship (edim384, ref:
@@ -359,14 +369,17 @@ def run_train_bench(embed):
     moment_dtype = os.environ.get(
         "BENCH_MOMENT_DTYPE", "bfloat16" if embed >= 384 else "float32")
     if moment_dtype == "float32":
-        adam = optax.adam(1e-3)
+        tx = optax.adam(1e-3)
     else:
         from makani_tpu.utils.optimizers import scale_by_adam_lowmem
-        adam = optax.chain(
+        tx = optax.chain(
             scale_by_adam_lowmem(b1=0.9, b2=0.999, eps=1e-8,
                                  moment_dtype=jnp.bfloat16),
             optax.scale(-1e-3))
-    tx = optax.chain(optax.clip_by_global_norm(32.0), adam)
+    # NOTE: no gradient clipping — the reference flagship runs plain Adam(W)
+    # (optimizer_max_grad_norm only feeds FusedLAMB, ref: makani/utils/
+    # trainer.py:452-465, config/sfnonet.yaml:116-119); a global-norm clip
+    # costs an extra full-gradient-tree read per step
 
     def init_fn(key, x):
         variables = model.init(key, x)

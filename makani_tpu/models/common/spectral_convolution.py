@@ -86,6 +86,44 @@ class SpectralConv(nn.Module):
         # (bit-identical to an f32 upcast under HIGH precision — ops/sht.py)
         if x.dtype not in (jnp.bfloat16, jnp.float32):
             x = x.astype(jnp.float32)
+
+        # Stacked-real coefficient pipeline (serial fast path): keeps the
+        # whole transform -> dhconv -> inverse chain in real planes and in
+        # the layouts the multi-pass Pallas kernels want (m-leading for the
+        # Legendre dots, l-major for the per-l channel mixing) — complex64
+        # never materializes and XLA inserts no relayout copies between the
+        # coefficient stages. Same numerics as the complex path at the
+        # active transform precision.
+        from makani_tpu.ops import sht as _sht
+        if (self.operator_type == "dhconv" and not self.separable
+                and _sht._stacked_engine_active()
+                and hasattr(fwd_t, "analysis_stacked")
+                and hasattr(inv_t, "synthesis_stacked")
+                and x.ndim == 4):
+            from makani_tpu.ops.complex_ops import contract_dhconv_stacked
+
+            z = fwd_t.analysis_stacked(x)            # (2*mmax, B, C, L)
+            if scale_residual:
+                residual = inv_t.synthesis_stacked(z).astype(dtype)
+            mmax = z.shape[0] // 2
+            B = z.shape[1]
+            zs = z.reshape(2, mmax, B, self.in_channels, modes_lat)
+            zs = jnp.transpose(zs, (0, 2, 4, 3, 1))   # (2, B, L, C, mmax)
+            ws = jnp.transpose(weight, (3, 2, 0, 1))  # (2, L, C, O)
+            o = contract_dhconv_stacked(zs, ws)       # (2, B, L, O, mmax)
+            o = jnp.transpose(o, (0, 4, 1, 3, 2))     # (2, mmax, B, O, L)
+            o = o.reshape(2 * mmax, B, self.out_channels, modes_lat)
+            x = inv_t.synthesis_stacked(o)
+
+            if self.bias == "constant":
+                b = self.param("bias_const", nn.initializers.zeros,
+                               (1, self.out_channels, 1, 1))
+                x = x + b
+            elif self.bias == "position":
+                b = self.param("bias_pos", nn.initializers.zeros,
+                               (1, self.out_channels, inv_t.nlat, inv_t.nlon))
+                x = x + b
+            return x.astype(dtype), residual
         x = fwd_t(x)
         from makani_tpu.parallel import spmd as _spmd
         if _spmd.model_distributed():

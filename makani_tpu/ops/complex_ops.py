@@ -113,6 +113,29 @@ def contract_dhconv(x, w):
     return _cplx_einsum("bixy,iox->boxy", x, w)
 
 
+def contract_dhconv_stacked(x, w):
+    """dhconv on stacked-real l-major layouts: x (2, B, L, C, M) x
+    w (2, L, C, O) -> (2, B, L, O, M); plane 0 = real, plane 1 = imag.
+
+    The layout twin of contract_dhconv used by SpectralConv's stacked
+    coefficient pipeline (ops/sht.py coefficient-engine switch): "pallas"
+    runs the multi-pass VMEM-accumulating kernel, "stacked" the equivalent
+    XLA einsums (CPU-testable, and a layout-only ablation on TPU)."""
+    from makani_tpu.ops import sht as _sht
+    if _sht.get_coeff_engine() == "pallas" and jax.default_backend() != "cpu":
+        from makani_tpu.ops import pallas_mm
+        return pallas_mm.dhconv(x, w, _sht._coeff_passes())
+    eq = "blcm,lco->blom"
+    rr = jnp.einsum(eq, x[0], w[0], precision=_PRECISION)
+    ii = jnp.einsum(eq, x[1], w[1], precision=_PRECISION)
+    if _USE_3M:
+        cross = jnp.einsum(eq, x[0] + x[1], w[0] + w[1], precision=_PRECISION)
+        return jnp.stack([rr - ii, cross - rr - ii])
+    ri = jnp.einsum(eq, x[0], w[1], precision=_PRECISION)
+    ir = jnp.einsum(eq, x[1], w[0], precision=_PRECISION)
+    return jnp.stack([rr - ii, ri + ir])
+
+
 def contract_sep_diagonal(x, w):
     return _cplx_einsum("bixy,ixy->bixy", x, w)
 

@@ -210,6 +210,62 @@ def dhconv_mm(x, w, passes=3, m3=True, wdim=0, conj_w=False, interpret=False):
     return out[..., :M] if Mp != M else out
 
 
+# --------------------------------------------------------------------------
+# differentiable wrappers (custom VJPs over the raw kernels)
+# --------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def legdot(z, p, contract="k", passes=3, interpret=False):
+    """Differentiable per-m Legendre contraction (see legmm).
+
+    The table `p` is a precomputed constant of the transform (hoisted step
+    argument, never optimized) so its cotangent is returned as zeros — XLA
+    dead-code-eliminates the buffer when, as always, nothing consumes it.
+    """
+    return legmm(z, p, passes=passes, contract=contract, interpret=interpret)
+
+
+def _legdot_fwd(z, p, contract, passes, interpret):
+    return legmm(z, p, passes=passes, contract=contract, interpret=interpret), p
+
+
+def _legdot_bwd(contract, passes, interpret, p, g):
+    # the contraction is linear in z; its transpose is the opposite-direction
+    # contraction against the same (symmetric-use, ortho-normalized) table
+    other = "l" if contract == "k" else "k"
+    dz = legmm(g, p, passes=passes, contract=other, interpret=interpret)
+    return dz, jnp.zeros_like(p)
+
+
+legdot.defvjp(_legdot_fwd, _legdot_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def dhconv(x, w, passes=3, interpret=False):
+    """Differentiable complex dhconv on stacked-real layouts (see dhconv_mm).
+
+    x (2, B, L, C, M), w (2, L, C, O) -> (2, B, L, O, M). Cotangent rules are
+    the complex-linear ones: dx = g . conj(w) (contract O), dw = conj(x) . g
+    (contract B, M) — matching what jax.grad derives for the XLA einsum form
+    (ref contraction: makani/models/common/contractions.py:131-136).
+    """
+    return dhconv_mm(x, w, passes=passes, interpret=interpret)
+
+
+def _dhconv_fwd(x, w, passes, interpret):
+    return dhconv_mm(x, w, passes=passes, interpret=interpret), (x, w)
+
+
+def _dhconv_bwd(passes, interpret, res, g):
+    x, w = res
+    dx = dhconv_mm(g, w, passes=passes, wdim=1, conj_w=True, interpret=interpret)
+    dw = dhconv_dw(x, g, passes=passes, interpret=interpret)
+    return dx, dw
+
+
+dhconv.defvjp(_dhconv_fwd, _dhconv_bwd)
+
+
 def _dhconv_dw_kernel(x_ref, g_ref, o_ref, *, passes, m3):
     """dw[l] = conj(x[l]) @ g[l]^T over m (and the resident-b sweep)."""
     xr = x_ref[0, 0, 0]  # (C, Mp)

@@ -66,6 +66,68 @@ def get_transform_precision():
     return _PRECISION
 
 
+# Coefficient-engine switch: how the coefficient-space contractions (the
+# Legendre dots and SpectralConv's dhconv channel mixing) are executed.
+#   "xla"    — jnp einsums on complex coefficients (status quo; the only
+#              choice under model-parallel SPMD, where a pallas_call custom
+#              call cannot be partitioned by GSPMD)
+#   "stacked"— same math on the m-leading stacked-real layout with XLA
+#              einsums (layout ablation; CPU-testable twin of "pallas")
+#   "pallas" — ops/pallas_mm multi-pass kernels: operand hi/lo bf16 splits in
+#              VMEM, all passes accumulated on the MXU before one f32 write —
+#              XLA-HIGH accuracy at near-single-pass HBM cost (the in-kernel
+#              accumulation jnp cannot express; see BENCH_NOTES.md round 2)
+_COEFF_ENGINE = "xla"
+
+
+def set_coeff_engine(name: str):
+    global _COEFF_ENGINE
+    assert name in ("xla", "stacked", "pallas"), name
+    _COEFF_ENGINE = name
+
+
+def get_coeff_engine():
+    return _COEFF_ENGINE
+
+
+def _coeff_passes():
+    """Pallas pass count for the current precision mode (None = no pallas
+    equivalent; fall back to the XLA einsum)."""
+    return {
+        "tf32": 3,  # mixed: coefficient dots at HIGH
+        "split2": 2,
+        jax.lax.Precision.DEFAULT: 1,
+        jax.lax.Precision.HIGH: 3,
+    }.get(_PRECISION)
+
+
+def _stacked_engine_active():
+    if _COEFF_ENGINE == "xla":
+        return False
+    if _COEFF_ENGINE == "pallas" and (
+            jax.default_backend() == "cpu" or _coeff_passes() is None):
+        return False
+    from makani_tpu.parallel import spmd
+    return not spmd.model_distributed()
+
+
+def _legendre_dot(z, p, contract):
+    """(M2, R, K|L) x (mmax, L, K) per-m contraction in the m-leading stacked
+    layout, on the active coefficient engine."""
+    if _COEFF_ENGINE == "pallas" and jax.default_backend() != "cpu":
+        from makani_tpu.ops import pallas_mm
+        return pallas_mm.legdot(z, p, contract, _coeff_passes())
+    mmax = p.shape[0]
+    # (2*mmax, R, .) -> (2, mmax, R, .): leading reshape is free and the
+    # re/im planes share one table read in the einsum
+    zs = z.reshape(2, mmax, *z.shape[1:])
+    eq = "smrk,mlk->smrl" if contract == "k" else "smrl,mlk->smrk"
+    prec = _PRECISION if _PRECISION not in ("tf32", "split2") \
+        else jax.lax.Precision.HIGH
+    out = jnp.einsum(eq, zs, p, precision=prec)
+    return out.reshape(2 * mmax, *out.shape[2:])
+
+
 def transform_einsum(eq, x, table, precision, stage="coeff"):
     """Activation x table einsum honoring the extended precision modes.
 
@@ -250,6 +312,25 @@ class RealSHT:
 
         return _table(key, init)
 
+    def analysis_stacked(self, x):
+        """Serial fast path: real grid (..., nlat, nlon) -> m-leading
+        stacked-real coefficients (2*mmax, ..., lmax), re rows then im rows.
+
+        Numerically identical to __call__ (same tables, same precision
+        ladder) but never materializes complex64 and keeps the m-batched
+        layout the multi-pass Pallas Legendre kernel wants. Used by
+        SpectralConv's dhconv pipeline when the stacked/pallas coefficient
+        engine is active (serial execution only)."""
+        if x.dtype != jnp.bfloat16:
+            x = x.astype(jnp.float32)
+        T = self._rdft_stacked_table()
+        z = transform_einsum("...j,jm->m...", x, T, _PRECISION, stage="grid")
+        z = z * device_constant(self.wq)
+        batch_shape = z.shape[1:-1]
+        zf = z.reshape(z.shape[0], -1, z.shape[-1])
+        out = _legendre_dot(zf, self._pct_table(), "k")
+        return out.reshape(out.shape[0], *batch_shape, self.lmax)
+
     def __call__(self, x):
         from makani_tpu.parallel import spmd
 
@@ -335,6 +416,17 @@ class InverseRealSHT:
             return jnp.concatenate([Cs, -Ss], axis=0)
 
         return _table(key, init)
+
+    def synthesis_stacked(self, z):
+        """Serial fast path: m-leading stacked-real coefficients
+        (2*mmax, ..., lmax) -> real grid (..., nlat, nlon). The twin of
+        RealSHT.analysis_stacked (same tables/precision as __call__)."""
+        batch_shape = z.shape[1:-1]
+        zf = z.reshape(z.shape[0], -1, z.shape[-1])
+        o = _legendre_dot(zf, self._pct_table(), "l")
+        o = o.reshape(o.shape[0], *batch_shape, o.shape[-1])
+        T = self._irdft_stacked_table()
+        return transform_einsum("m...k,mj->...kj", o, T, _PRECISION, stage="grid")
 
     def __call__(self, x):
         from makani_tpu.parallel import spmd

@@ -69,7 +69,8 @@ class MetricsHandler:
 
         kw = dict(img_shape=self.img_shape, crop_shape=self.crop_shape,
                   crop_offset=self.crop_offset, normalize=True)
-        self.l1_handle = GeometricL1(quadrature_rule_type, channel_reduction="mean", batch_reduction="sum", **kw)
+        # batch_reduction="mean" (not the reference's "sum"): see update()
+        self.l1_handle = GeometricL1(quadrature_rule_type, channel_reduction="mean", batch_reduction="mean", **kw)
         self.rmse_handle = GeometricRMSE(quadrature_rule_type, channel_reduction="none", batch_reduction="none", **kw)
         self.acc_handle = GeometricACC(quadrature_rule_type, channel_reduction="none", batch_reduction="sum", **kw)
 
@@ -117,7 +118,13 @@ class MetricsHandler:
             from makani_tpu.parallel import spmd
             buffers["acc_curve"] = spmd.constrain(buffers["acc_curve"], ("fin", "fout"), None)
             buffers["rmse_curve"] = spmd.constrain(buffers["rmse_curve"], ("fin", "fout"), None)
-        buffers["acc_counter"] = buffers["acc_counter"].at[idt].add(1.0)
+        # Deliberate deviation from the reference: curves accumulate batch
+        # SUMS, so the counter counts SAMPLES (global batch), making the
+        # finalized curves true per-sample means at any validation batch
+        # size. The reference divides its batch-summed buffers by the number
+        # of update CALLS, so its curves scale with the batch size when
+        # batch > 1 (ref: makani/utils/metric.py:194-196, 255-258).
+        buffers["acc_counter"] = buffers["acc_counter"].at[idt].add(float(prediction.shape[0]))
 
         first = jnp.asarray(idt == 0, jnp.float32)
         buffers["valid_steps"] = buffers["valid_steps"] + first

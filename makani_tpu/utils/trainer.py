@@ -116,6 +116,18 @@ class Trainer:
             amp_mode, "" if params.get("transform_precision") is not None
             else ", AMP-dependent default")
 
+        # coefficient engine: how SpectralConv's coefficient stage executes —
+        # "xla" (complex einsums), "stacked" (m-leading/l-major real planes),
+        # "pallas" (stacked + multi-pass VMEM-accumulating kernels). All
+        # numerically interchangeable (tests/test_stacked_engine.py); the
+        # non-"xla" engines auto-disable under model-parallel SPMD where a
+        # pallas custom call cannot be partitioned.
+        eng = params.get("coefficient_engine", None)
+        if eng is not None:
+            from makani_tpu.ops.sht import set_coeff_engine
+            set_coeff_engine(eng)
+            logger.info("coefficient engine: %r", eng)
+
         # NaN/Inf trapping (ref: --enable_grad_anomaly_detection ->
         # torch.autograd.set_detect_anomaly, makani/train.py:113-114). The
         # jit-native equivalent re-runs the offending op un-jitted and raises

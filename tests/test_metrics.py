@@ -97,3 +97,49 @@ def test_simpson_quadrature_exact_for_quadratics():
     t = np.arange(n + 1) * h
     vals = jnp.asarray((3 * t**2)[None])  # integral of 3t^2 = t^3
     np.testing.assert_allclose(float(quad(vals, dim=1)[0]), (n * h) ** 3, rtol=1e-6)
+
+
+def test_metrics_handler_batch_size_invariant(tmp_path):
+    """ACC/RMSE curves and L1 are per-sample means independent of the
+    validation batch size (deliberate fix of the reference's quirk where
+    batch-summed buffers are divided by the number of update calls;
+    ref: makani/utils/metric.py:194-196, 255-258)."""
+    import sys
+    from pathlib import Path
+    sys.path.insert(0, str(Path(__file__).parent))
+    from testutils import get_default_parameters
+    from makani_tpu.utils.metric import MetricsHandler
+
+    params = get_default_parameters()
+    params["valid_autoreg_steps"] = 0
+    params["N_out_channels"] = len(params.out_channels)
+    params["img_crop_shape_x"] = params.img_shape_x
+    params["img_crop_shape_y"] = params.img_shape_y
+    params["img_crop_offset_x"] = 0
+    params["img_crop_offset_y"] = 0
+    params["model_grid_type"] = "equiangular"
+    C = params.N_out_channels
+    H, W = params.img_shape_x, params.img_shape_y
+    mult = np.ones((C,), np.float32)
+    clim = np.zeros((C, H, W), np.float32)
+    handler = MetricsHandler(params, mult, clim)
+
+    rng = np.random.RandomState(0)
+    pred = jnp.asarray(rng.randn(4, C, H, W).astype(np.float32))
+    targ = jnp.asarray(rng.randn(4, C, H, W).astype(np.float32))
+
+    # one batch-4 update
+    buf = handler.initialize_buffers()
+    buf = handler.update(buf, pred, targ, jnp.float32(0.5), 0)
+    logs4, acc4, rmse4 = handler.finalize(buf, final_inference=True)
+
+    # four batch-1 updates
+    buf = handler.initialize_buffers()
+    for i in range(4):
+        buf = handler.update(buf, pred[i:i + 1], targ[i:i + 1], jnp.float32(0.5), 0)
+    logs1, acc1, rmse1 = handler.finalize(buf, final_inference=True)
+
+    np.testing.assert_allclose(acc4, acc1, rtol=1e-5)
+    np.testing.assert_allclose(rmse4, rmse1, rtol=1e-5)
+    np.testing.assert_allclose(logs4["base"]["validation L1"],
+                               logs1["base"]["validation L1"], rtol=1e-5)
