@@ -488,8 +488,14 @@ def run_train_bench(embed):
             flops_per_step = float(ca["flops"])
     except Exception as e:
         print(f"# cost analysis unavailable: {e}", file=sys.stderr, flush=True)
+    if not flops_per_step and (nlat, nlon, chans, layers, batch) == (721, 1440, 73, 8, 1):
+        # client-side XLA cost analysis of the identical step on the CPU
+        # backend (the axon remote backend cannot always serve it)
+        flops_per_step = {320: 13.04e12, 384: 17.75e12}.get(embed)
 
     prec_tag = os.environ.get("_BENCH_PREC_TAG", "high")
+    if moment_dtype != "float32":
+        prec_tag += f"/m:{moment_dtype}"
     metric = (f"SFNO-{chans}ch {nlat}x{nlon} edim{embed} L{layers} "
               f"bf16/{prec_tag} train throughput")
 

@@ -26,7 +26,25 @@ class _LowMemAdamState(NamedTuple):
     key: jnp.ndarray
 
 
-def _stochastic_round(x, target_dtype, key):
+def _dither_u16(shape, salt):
+    """Per-element uniform 16-bit dither from a counter-based hash of
+    (element index, salt): two multiplies + three xors per element on the
+    VPU. jax.random's threefry here measured ~29 ms/step on the flagship's
+    1.6 GB of moments (e2e 3.66 -> 3.31 steps/s) — the dither does not need
+    cryptographic quality, only per-(element, step) decorrelated uniform
+    bits, which a finalizing integer hash provides."""
+    n = 1
+    for s in shape:
+        n *= s
+    idx = jax.lax.iota(jnp.uint32, max(n, 1)).reshape(shape) if n else \
+        jnp.zeros(shape, jnp.uint32)
+    h = idx * jnp.uint32(0x9E3779B1) ^ salt
+    h = (h ^ (h >> 15)) * jnp.uint32(0x85EBCA6B)
+    h = (h ^ (h >> 13)) * jnp.uint32(0xC2B2AE35)
+    return (h ^ (h >> 16)) & jnp.uint32(0xFFFF)
+
+
+def _stochastic_round(x, target_dtype, salt):
     """Round f32 -> target_dtype with probability proportional to the
     fractional distance between the two representable neighbours: the
     rounding error is zero-mean, so moment accumulators don't drift the way
@@ -38,7 +56,7 @@ def _stochastic_round(x, target_dtype, key):
     if target_dtype != jnp.bfloat16:
         return x.astype(target_dtype)
     bits = jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.uint32)
-    noise = jax.random.bits(key, x.shape, dtype=jnp.uint32) & jnp.uint32(0xFFFF)
+    noise = _dither_u16(x.shape, salt)
     bits = (bits + noise) & jnp.uint32(0xFFFF0000)
     return jax.lax.bitcast_convert_type(bits, jnp.float32).astype(jnp.bfloat16)
 
@@ -63,9 +81,11 @@ def scale_by_adam_lowmem(b1=0.9, b2=0.999, eps=1e-8,
     def update_fn(updates, state, params=None):
         del params
         count = state.count + 1
-        key = jax.random.fold_in(state.key, count)
-        leaves = jax.tree.leaves(updates)
-        keys = jax.random.split(key, 2 * max(len(leaves), 1))
+        # per-(step, leaf, buffer) dither salts from one integer hash chain
+        base = (jnp.uint32(seed) ^ count.astype(jnp.uint32)) * jnp.uint32(0x9E3779B1)
+        keys = [(base ^ jnp.uint32((j * 0x68E31DA4 + 0xB5297A4D) & 0xFFFFFFFF))
+                * jnp.uint32(0x1B56C4E9)
+                for j in range(2 * max(len(jax.tree.leaves(updates)), 1))]
 
         flat_g, treedef = jax.tree.flatten(updates)
         flat_mu = treedef.flatten_up_to(state.mu)
@@ -103,11 +123,19 @@ def build_optimizer(params):
     """Returns an lr-free optax GradientTransformation."""
     tx = []
 
-    max_norm = params.get("optimizer_max_grad_norm", None)
+    opt_type = params.get("optimizer_type", "Adam")
+
+    # optimizer_max_grad_norm only feeds the LAMB optimizers in the reference
+    # (ref: makani/utils/trainer.py:452-472 — torch Adam/AdamW take no such
+    # arg, and BASE_CONFIG carries the key for every run); clipping Adam runs
+    # here would both diverge from reference semantics and cost an extra
+    # full-gradient-tree read per step. `gradient_clip_norm` opts in for any
+    # optimizer.
+    max_norm = params.get("gradient_clip_norm", None)
+    if max_norm is None and opt_type in ("FusedLAMB", "LAMB"):
+        max_norm = params.get("optimizer_max_grad_norm", None)
     if max_norm is not None and max_norm > 0:
         tx.append(optax.clip_by_global_norm(float(max_norm)))
-
-    opt_type = params.get("optimizer_type", "Adam")
     b1 = params.get("optimizer_beta1", 0.9)
     b2 = params.get("optimizer_beta2", 0.95)
     wd = params.get("weight_decay", 0.0)

@@ -103,6 +103,33 @@ def bench_legendre():
     print(f"pallas p3 analysis maxrel: {np.abs(got-ref).max()/np.abs(ref).max():.3e}", flush=True)
 
 
+def bench_legendre2():
+    """Paired layout: re/im of each mode adjacent -> z (mmax, 2C, K), table
+    (mmax, L, K). legmm's m%mmax index map degenerates to identity (plain
+    batched matmul, half the blocks, (2C,K)@(K,L) MXU shapes), vs the XLA
+    forms the model actually runs (fused-transpose output) and the m-leading
+    isolated form."""
+    rng = np.random.RandomState(0)
+    mmax, C, K, L = 241, 320, 240, 240
+    zp = jnp.asarray(rng.randn(mmax, 2 * C, K).astype(np.float32))
+    p = jnp.asarray(rng.randn(mmax, L, K).astype(np.float32) * 0.1)
+
+    print(f"== legendre2 paired mmax{mmax} 2C{2*C} K{K} L{L}", flush=True)
+    timeit("xla HIGH paired mck,mlk->mcl", lambda v: jnp.einsum(
+        "mck,mlk->mcl", v, p, precision=H), zp)
+    timeit("xla HIGH fused-T mck,mlk->clm", lambda v: jnp.einsum(
+        "mck,mlk->clm", v, p, precision=H), zp)
+    for ps in (2, 3):
+        timeit(f"pallas p{ps} paired", lambda v, ps=ps: pallas_mm.legmm(
+            v, p, passes=ps, contract="k"), zp)
+    timeit("pallas p3 paired + moveaxis", lambda v: jnp.moveaxis(
+        pallas_mm.legmm(v, p, passes=3, contract="k"), 0, -1), zp)
+
+    ref = np.einsum("mck,mlk->mcl", np.asarray(zp, np.float64), np.asarray(p, np.float64))
+    got = np.asarray(jax.jit(functools.partial(pallas_mm.legmm, passes=3, contract="k"))(zp, p))
+    print(f"pallas p3 paired maxrel: {np.abs(got-ref).max()/np.abs(ref).max():.3e}", flush=True)
+
+
 def p2_full(p):
     # duplicate table rows for the stacked re/im activation (XLA comparison)
     return jnp.concatenate([p, p], axis=0)
@@ -147,5 +174,7 @@ if __name__ == "__main__":
         bench_dhconv()
     if fam in ("legendre", "all"):
         bench_legendre()
+    if fam in ("legendre2", "all"):
+        bench_legendre2()
     if fam in ("grid", "all"):
         bench_grid()

@@ -270,7 +270,7 @@ def test_stochastic_rounding_unbiased():
     from makani_tpu.utils.optimizers import _stochastic_round
 
     x = jnp.full((20000,), 1.0 + 1 / 512.0, jnp.float32)  # between bf16 points
-    r = _stochastic_round(x, jnp.bfloat16, jax.random.PRNGKey(0))
+    r = _stochastic_round(x, jnp.bfloat16, jnp.uint32(1234))
     mean = float(jnp.mean(r.astype(jnp.float32)))
     nearest = float(jnp.asarray(1.0 + 1 / 512.0, jnp.bfloat16))
     assert abs(mean - (1.0 + 1 / 512.0)) < 1e-4, mean
