@@ -36,8 +36,13 @@ def bench_sht():
     lmax = nlat // 3
     mmax = (nlon // 3) // 2 + 1
 
+    bp = os.environ.get("BENCH_PRECISION")
+    if bp:
+        from makani_tpu.ops.sht import set_transform_precision
+        set_transform_precision(bp)
+
     from makani_tpu.ops.device_tables import legpoly_device, rdft_device, irdft_device
-    from makani_tpu.ops.sht import _theta_weights, get_transform_precision
+    from makani_tpu.ops.sht import _theta_weights, get_transform_precision, transform_einsum
 
     tq, wq_np = _theta_weights("equiangular", nlat)
     prec = get_transform_precision()
@@ -54,14 +59,16 @@ def bench_sht():
         wq = jnp.asarray(wq_np.astype(np.float32))
 
         def roundtrip(i, a):
-            re = jnp.einsum("...j,jm->...m", a, C, precision=prec) * wq[:, None]
-            im = -jnp.einsum("...j,jm->...m", a, S, precision=prec) * wq[:, None]
-            cre = jnp.einsum("...km,mlk->...lm", re, pct, precision=prec)
-            cim = jnp.einsum("...km,mlk->...lm", im, pct, precision=prec)
-            zre = jnp.einsum("...lm,mlk->...km", cre, pct, precision=prec)
-            zim = jnp.einsum("...lm,mlk->...km", cim, pct, precision=prec)
-            return (jnp.einsum("...m,mj->...j", zre, Cs, precision=prec)
-                    - jnp.einsum("...m,mj->...j", zim, Ss, precision=prec))
+            # transform_einsum honors the extended modes ("mixed" runs the
+            # grid-side DFT dots at 1-pass bf16, coefficient dots at HIGH)
+            re = transform_einsum("...j,jm->...m", a, C, prec, stage="grid") * wq[:, None]
+            im = -transform_einsum("...j,jm->...m", a, S, prec, stage="grid") * wq[:, None]
+            cre = transform_einsum("...km,mlk->...lm", re, pct, prec)
+            cim = transform_einsum("...km,mlk->...lm", im, pct, prec)
+            zre = transform_einsum("...lm,mlk->...km", cre, pct, prec)
+            zim = transform_einsum("...lm,mlk->...km", cim, pct, prec)
+            return (transform_einsum("...m,mj->...j", zre, Cs, prec, stage="grid")
+                    - transform_einsum("...m,mj->...j", zim, Ss, prec, stage="grid"))
 
         # host-materialized scalar: block_until_ready does not truly
         # synchronize on some remote backends
@@ -74,8 +81,9 @@ def bench_sht():
     dt = time.perf_counter() - t0
 
     gridpoints_per_sec = n_iters * chans * nlat * nlon / dt
+    tag = bp or "high"
     print(json.dumps({
-        "metric": f"SHT roundtrip {nlat}x{nlon} lmax{lmax} x{chans}ch",
+        "metric": f"SHT roundtrip {nlat}x{nlon} lmax{lmax} x{chans}ch ({tag})",
         "value": round(gridpoints_per_sec / 1e9, 4),
         "unit": "Ggridpoints/sec",
         "vs_baseline": 1.0,
@@ -224,6 +232,10 @@ def main():
         return bench_loader_gate()
     if os.environ.get("BENCH_MODE", "train") == "afno":
         return bench_afno()
+    if os.environ.get("BENCH_MODE", "train") == "rollout":
+        rollout = True
+    else:
+        rollout = False
 
     tm = os.environ.get("BENCH_TABLES")
     if tm:
@@ -251,6 +263,9 @@ def main():
         from makani_tpu.ops.sht import set_coeff_engine
         set_coeff_engine(eng)
         os.environ["_BENCH_PREC_TAG"] = f"{bp}/{eng}"
+
+    if rollout:
+        return bench_rollout()
 
     # flagship first; on single-chip OOM step the width down so the driver
     # always gets a number. The TRUE flagship (edim384, ref:
@@ -281,6 +296,68 @@ def main():
                 continue
             raise RuntimeError(last_msg)
     raise RuntimeError(f"all ladder sizes OOMed; last error: {last_msg}")
+
+
+def bench_rollout():
+    """Autoregressive inference throughput (the serving path): jitted
+    forward step chained through its own prediction, flagship SFNO config,
+    bf16. Reported as rollout steps/s/chip."""
+    import jax
+    import jax.numpy as jnp
+    from makani_tpu.models.networks import SphericalFourierNeuralOperatorNet
+
+    nlat = int(os.environ.get("BENCH_NLAT", 721))
+    nlon = int(os.environ.get("BENCH_NLON", 1440))
+    chans = int(os.environ.get("BENCH_CHANS", 73))
+    embed = int(os.environ.get("BENCH_EMBED", 384))
+    layers = int(os.environ.get("BENCH_LAYERS", 8))
+    n_iters = int(os.environ.get("BENCH_ITERS", 20))
+
+    model = SphericalFourierNeuralOperatorNet(
+        inp_shape=(nlat, nlon), out_shape=(nlat, nlon), scale_factor=3,
+        inp_chans=chans, out_chans=chans, embed_dim=embed, num_layers=layers,
+        operator_type="dhconv", normalization_layer="instance_norm",
+        use_mlp=True, mlp_ratio=2.0, activation_function="gelu",
+        hard_thresholding_fraction=1.0, big_skip=True, checkpointing=0)
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(1, chans, nlat, nlon).astype(np.float32)).astype(jnp.bfloat16)
+
+    params = jax.jit(lambda k, v: model.init(k, v))(jax.random.PRNGKey(0), x)
+
+    from makani_tpu.ops import sht as sht_lib
+
+    def fwd(params, x):
+        return model.apply(params, x).astype(jnp.bfloat16)
+
+    tables = sht_lib.materialize_tables(fwd, params, x)
+
+    def step(params, x, tables):
+        with sht_lib.provided_tables(tables):
+            return fwd(params, x)
+
+    step = jax.jit(step, donate_argnums=(1,))
+
+    t_c = time.perf_counter()
+    x1 = step(params, x, tables)
+    np.asarray(jax.device_get(x1[0, 0, 0, :2]))
+    print(f"# rollout step compiled+ran in {time.perf_counter()-t_c:.1f}s",
+          file=sys.stderr, flush=True)
+
+    xs = x1
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        xs = step(params, xs, tables)
+    np.asarray(jax.device_get(xs[0, 0, 0, :2]))
+    dt = time.perf_counter() - t0
+
+    print(json.dumps({
+        "metric": f"SFNO-{chans}ch {nlat}x{nlon} edim{embed} L{layers} bf16 "
+                  "autoregressive rollout",
+        "value": round(n_iters / dt, 4),
+        "unit": "steps/sec/chip",
+        "vs_baseline": 1.0,
+    }))
 
 
 def bench_afno():

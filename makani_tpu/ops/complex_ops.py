@@ -27,6 +27,7 @@ def set_contraction_precision(name: str):
         "split2": jax.lax.Precision.HIGH,
         "tf32": jax.lax.Precision.HIGH,
         "mixed": jax.lax.Precision.HIGH,
+        "mixed2": jax.lax.Precision.HIGH,
         "high": jax.lax.Precision.HIGH,
         "highest": jax.lax.Precision.HIGHEST,
     }[name]

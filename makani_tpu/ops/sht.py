@@ -57,6 +57,11 @@ def set_transform_precision(name: str):
         "split2": "split2",
         "tf32": "tf32",  # alias
         "mixed": "tf32",
+        # mixed2: like mixed but the grid dots keep the TABLE in f32 (bf16
+        # activation x f32 table under HIGH — XLA's fast bf16-operand HIGH
+        # kernel runs this at DEFAULT speed when it engages; measured
+        # per-chip, see BENCH_NOTES round 3)
+        "mixed2": "tf32x",
         "high": jax.lax.Precision.HIGH,
         "highest": jax.lax.Precision.HIGHEST,
     }[name]
@@ -95,6 +100,7 @@ def _coeff_passes():
     equivalent; fall back to the XLA einsum)."""
     return {
         "tf32": 3,  # mixed: coefficient dots at HIGH
+        "tf32x": 3,
         "split2": 2,
         jax.lax.Precision.DEFAULT: 1,
         jax.lax.Precision.HIGH: 3,
@@ -122,7 +128,7 @@ def _legendre_dot(z, p, contract):
     # re/im planes share one table read in the einsum
     zs = z.reshape(2, mmax, *z.shape[1:])
     eq = "smrk,mlk->smrl" if contract == "k" else "smrl,mlk->smrk"
-    prec = _PRECISION if _PRECISION not in ("tf32", "split2") \
+    prec = _PRECISION if _PRECISION not in ("tf32", "tf32x", "split2") \
         else jax.lax.Precision.HIGH
     out = jnp.einsum(eq, zs, p, precision=prec)
     return out.reshape(2 * mmax, *out.shape[2:])
@@ -152,6 +158,13 @@ def transform_einsum(eq, x, table, precision, stage="coeff"):
         # dots are exact regardless of the precision enum — every mode
         # resolves to a plain f32 einsum off-accelerator
         return jnp.einsum(eq, x.astype(jnp.float32), table)
+    if precision == "tf32x":
+        if stage == "grid":
+            # bf16 activation, f32 table, HIGH: the activation's lo split is
+            # exactly zero so this is numerically a 2-pass (exact-table) dot
+            return jnp.einsum(eq, x.astype(jnp.bfloat16), table,
+                              precision=jax.lax.Precision.HIGH)
+        precision = jax.lax.Precision.HIGH
     if precision == "tf32":
         precision = jax.lax.Precision.DEFAULT if stage == "grid" \
             else jax.lax.Precision.HIGH

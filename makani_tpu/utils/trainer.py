@@ -803,9 +803,20 @@ class Trainer:
         load_optimizer = self.params.get("load_optimizer", True) if load_optimizer is None else load_optimizer
         load_counters = self.params.get("load_counters", True) if load_counters is None else load_counters
 
-        params, opt_state, counters = ckpt_lib.restore_checkpoint(
-            checkpoint_path, self.model_params,
-            self.opt_state if load_optimizer else None)
+        try:
+            params, opt_state, counters = ckpt_lib.restore_checkpoint(
+                checkpoint_path, self.model_params,
+                self.opt_state if load_optimizer else None)
+        except Exception as e:
+            if "mismatch" in str(e).lower() or "restore" in str(e).lower():
+                raise RuntimeError(
+                    f"Checkpoint restore from {checkpoint_path!r} failed with a "
+                    "structure mismatch. This usually means the model or "
+                    "optimizer configuration changed since the checkpoint was "
+                    "written (e.g. a different optimizer chain, width, or "
+                    "layer count). Start a fresh experiment dir, or set "
+                    "load_optimizer: false to restore weights only.") from e
+            raise
         self.model_params = params
         if load_optimizer and opt_state is not None:
             self.opt_state = opt_state

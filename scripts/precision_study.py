@@ -58,7 +58,7 @@ def main():
     sht = RealSHT(NLAT, NLON, grid=GRID)
     isht = InverseRealSHT(NLAT, NLON, grid=GRID)
 
-    for mode in ("default", "split2", "tf32", "high", "highest"):
+    for mode in ("default", "split2", "tf32", "mixed2", "high", "highest"):
         sht_mod.set_transform_precision(mode)
 
         # NOTE: the traced callable must be a FRESH function object per mode —
