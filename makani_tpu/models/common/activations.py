@@ -11,12 +11,22 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 
+def gelu_exact(x):
+    """Exact (erf-based) GELU — torch.nn.GELU's default formulation.
+
+    The tanh approximation (jax.nn.gelu's default) deviates from the
+    reference by ~1e-3 relative; torch-parity (tests/test_torch_parity.py)
+    pins the exact form. On TPU erf is a fused VPU transcendental, so this
+    costs nothing against the surrounding matmuls.
+    """
+    return jax.nn.gelu(x, approximate=False)
+
+
 def get_activation(name: str) -> Callable:
     if name == "relu":
         return jax.nn.relu
     if name == "gelu":
-        # tanh-approx gelu matches torch.nn.GELU closely and is TPU-friendly
-        return jax.nn.gelu
+        return gelu_exact
     if name == "silu":
         return jax.nn.silu
     if name == "identity" or name == "none":

@@ -15,6 +15,8 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
+from makani_tpu.models.common.activations import gelu_exact
+
 
 def normal_init(std):
     def init(key, shape, dtype=jnp.float32):
@@ -67,7 +69,7 @@ class MLP(nn.Module):
     in_features: int
     hidden_features: Optional[int] = None
     out_features: Optional[int] = None
-    act_layer: Callable = jax.nn.gelu
+    act_layer: Callable = gelu_exact
     output_bias: bool = True
     drop_rate: float = 0.0
     drop_type: str = "iid"
@@ -110,7 +112,7 @@ class EncoderDecoder(nn.Module):
     input_dim: int
     output_dim: int
     hidden_dim: int
-    act_layer: Callable = jax.nn.gelu
+    act_layer: Callable = gelu_exact
     gain: float = 1.0
 
     @nn.compact

@@ -13,6 +13,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from makani_tpu.models.common import DropPath, PatchEmbed
+from makani_tpu.models.common.activations import gelu_exact
 
 
 def _softshrink(x, lambd):
@@ -33,7 +34,7 @@ class MlpV1(nn.Module):
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         x = nn.Dense(self.hidden_features, kernel_init=_trunc02, name="fc1")(x)
-        x = jax.nn.gelu(x)
+        x = gelu_exact(x)
         if self.drop_rate > 0.0:
             x = nn.Dropout(rate=self.drop_rate)(x, deterministic=deterministic)
         x = nn.Dense(self.in_features, kernel_init=_trunc02, name="fc2")(x)

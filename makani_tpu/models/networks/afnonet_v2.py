@@ -18,6 +18,7 @@ import flax.linen as nn
 from makani_tpu.models.common import DropPath, MLP, PatchEmbed, InstanceNorm2d
 from makani_tpu.models.common.layers import Conv1x1, normal_init
 from makani_tpu.ops.complex_ops import view_as_complex
+from makani_tpu.models.common.activations import gelu_exact
 
 
 def _softshrink(x, lambd):
@@ -112,8 +113,9 @@ class BlockV2(nn.Module):
         if self.norm_layer == "instance_norm":
             return InstanceNorm2d(num_features=self.dim, eps=1e-6, affine=True, name=name)
         elif self.norm_layer == "layer_norm":
-            # reference normalizes over the (h, w) axes in this model
-            return lambda x: _layernorm_hw(x, eps=1e-6)
+            # reference normalizes over the (h, w) axes with elementwise
+            # (h, w) affine (ref: afnonet_v2.py:239-240)
+            return LayerNormHW(eps=1e-6, name=name)
         raise NotImplementedError(f"Error, normalization {self.norm_layer} not implemented.")
 
     @nn.compact
@@ -140,7 +142,7 @@ class BlockV2(nn.Module):
         x = MLP(
             in_features=self.dim,
             hidden_features=int(self.dim * self.mlp_ratio),
-            act_layer=jax.nn.gelu,
+            act_layer=gelu_exact,
             drop_rate=self.drop_rate,
             checkpointing=self.checkpointing,
             name="mlp",
@@ -151,10 +153,20 @@ class BlockV2(nn.Module):
         return x
 
 
-def _layernorm_hw(x, eps=1e-6):
-    mean = jnp.mean(x, axis=(-2, -1), keepdims=True)
-    var = jnp.var(x, axis=(-2, -1), keepdims=True)
-    return (x - mean) * jax.lax.rsqrt(var + eps)
+class LayerNormHW(nn.Module):
+    """LayerNorm over the trailing (H, W) axes with elementwise (H, W)
+    affine — torch nn.LayerNorm(normalized_shape=(h, w)) semantics."""
+
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x):
+        w = self.param("weight", nn.initializers.ones, x.shape[-2:])
+        b = self.param("bias", nn.initializers.zeros, x.shape[-2:])
+        mean = jnp.mean(x, axis=(-2, -1), keepdims=True)
+        var = jnp.var(x, axis=(-2, -1), keepdims=True)
+        y = (x - mean) * jax.lax.rsqrt(var + self.eps)
+        return y * w.astype(x.dtype) + b.astype(x.dtype)
 
 
 class AdaptiveFourierNeuralOperatorNet(nn.Module):

@@ -14,6 +14,7 @@ import flax.linen as nn
 
 from makani_tpu.models.common import DropPath, PatchEmbed
 from makani_tpu.models.common.attention import scaled_dot_product_attention
+from makani_tpu.models.common.activations import gelu_exact
 
 
 def _trunc02(key, shape, dtype=jnp.float32):
@@ -83,12 +84,12 @@ class ViTBlock(nn.Module):
         y = Attention(self.dim, num_heads=self.num_heads, qkv_bias=self.qkv_bias,
                       attn_drop_rate=self.attn_drop_rate,
                       proj_drop_rate=self.mlp_drop_rate, name="attn")(
-            nn.LayerNorm(name="norm1")(x), deterministic=deterministic)
+            nn.LayerNorm(epsilon=1e-5, name="norm1")(x), deterministic=deterministic)
         x = x + drop_path(y)
-        x = nn.LayerNorm(name="norm2")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
 
         h = nn.Dense(int(self.dim * self.mlp_ratio), kernel_init=_trunc02, name="mlp_fc1")(x)
-        h = jax.nn.gelu(h)
+        h = gelu_exact(h)
         if self.mlp_drop_rate > 0.0:
             h = nn.Dropout(rate=self.mlp_drop_rate)(h, deterministic=deterministic)
         h = nn.Dense(self.dim, kernel_init=_trunc02, name="mlp_fc2")(h)
@@ -139,7 +140,7 @@ class VisionTransformer(nn.Module):
                 name=f"blocks_{i}",
             )(x, deterministic=deterministic)
 
-        x = nn.LayerNorm(name="norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
 
         # head + depatchify (ref: vit.py:211-222)
         x = x.reshape(B, gh, gw, self.embed_dim)

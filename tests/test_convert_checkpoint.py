@@ -65,3 +65,53 @@ def test_reference_checkpoint_mapping_roundtrip():
     y = jax.jit(lambda v, a: model.apply(v, a))({"params": new_tree["model"]},
                                                 jnp.ones((1, chans, 16, 32)))
     assert np.isfinite(np.asarray(y)).all()
+
+
+def test_convert_real_torch_tar_roundtrip(tmp_path):
+    """End-to-end: a real torch-saved ckpt_mp0.tar through convert() into an
+    orbax checkpoint, restored and verified (runs only when torch is present —
+    the converter's torch.load path was previously untestable)."""
+    torch = pytest.importorskip("torch")
+    from makani_tpu.models import model_registry
+    from makani_tpu.tools.convert_torch_checkpoint import convert
+    from makani_tpu.utils import checkpoint as ckpt_lib
+    from tests.testutils import get_default_parameters
+
+    embed, chans, layers = 8, 3, 2
+    params = get_default_parameters()
+    params.update_params({
+        "nettype": "SFNO",
+        "in_channels": [0, 1, 2],
+        "out_channels": [0, 1, 2],
+        "channel_names": ["u10m", "v10m", "t2m"],
+        "img_shape_x": 16, "img_shape_y": 32,
+        "embed_dim": embed, "num_layers": layers, "scale_factor": 2,
+        "num_blocks": 4, "normalization_layer": "instance_norm",
+        "hard_thresholding_fraction": 1.0, "use_mlp": True, "mlp_ratio": 2.0,
+        "activation_function": "gelu", "pos_embed": "none",
+        "operator_type": "dhconv", "filter_type": "linear",
+    })
+    params.img_crop_shape_x, params.img_crop_shape_y = 16, 32
+    params.img_crop_offset_x = params.img_crop_offset_y = 0
+    params.N_in_channels = params.N_out_channels = chans
+
+    sd = _fake_reference_state(embed, chans, layers, lmax=8)
+    tar = tmp_path / "ckpt_mp0.tar"
+    torch.save({"model_state": {k: torch.from_numpy(v) for k, v in sd.items()},
+                "iters": 7, "epoch": 3}, str(tar))
+
+    out = tmp_path / "converted"
+    missing, unused = convert(str(tar), str(out), params)
+    assert not missing and not unused, (missing, unused)
+    ckpt_lib.wait_for_saves()
+
+    model = model_registry.get_model(params)
+    x = jnp.zeros((1, chans, 16, 32), jnp.float32)
+    template = jax.jit(model.init)(jax.random.PRNGKey(0), x)["params"]
+    restored, _, counters = ckpt_lib.restore_checkpoint(str(out), template)
+    assert counters["iters"] == 7 and counters["epoch"] == 3
+    w_src = sd["module.model.blocks.0.filter.filter.weight"]
+    w_dst = np.asarray(
+        restored["model"]["blocks_0"]["SpectralFilterLayer_0"]["filter"]["weight"])
+    np.testing.assert_allclose(w_dst[..., 0], w_src.real, rtol=1e-6)
+    np.testing.assert_allclose(w_dst[..., 1], w_src.imag, rtol=1e-6)

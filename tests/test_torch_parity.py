@@ -1,0 +1,561 @@
+"""Numerical parity against the PyTorch reference implementation.
+
+VERDICT r2 "missing" #1: nothing previously pinned the rebuild to the
+reference's exact numerics. This module loads the reference's *torch-only*
+modules straight from /root/reference (the contraction zoo, AFNO v1 +
+PrecipNet, AFNO v2, and the serial ViT path — everything that does not
+require torch_harmonics), copies the torch weights into the makani_tpu flax
+models, and asserts forward outputs allclose in f32.
+
+The SFNO family cannot be loaded (reference delegates its SHT to
+torch_harmonics, absent here); its conventions are pinned instead by the
+scipy-analytic SHT tests (tests/test_sht.py) and the committed golden
+fixtures (tests/test_golden.py).
+
+Reference modules are executed for their numerics only; nothing is copied.
+Skipped wholesale when torch is unavailable.
+"""
+
+import importlib.util
+import os
+import re
+import sys
+import types
+
+import numpy as np
+import pytest
+
+# make @torch.jit.script a no-op so reference modules import without the JIT
+os.environ.setdefault("PYTORCH_JIT", "0")
+torch = pytest.importorskip("torch")
+
+import jax
+import jax.numpy as jnp
+
+REF_ROOT = "/root/reference/makani"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF_ROOT), reason="reference checkout not present")
+
+
+def _load(modname, relpath):
+    spec = importlib.util.spec_from_file_location(
+        modname, os.path.join(REF_ROOT, relpath))
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[modname] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def ref():
+    """Reference torch modules, loaded leaf-by-leaf with stub parent packages
+    (avoids makani/__init__.py's torch_harmonics/apex import chain)."""
+    for name in [
+        "makani", "makani.utils", "makani.models", "makani.models.common",
+        "makani.models.networks", "makani.mpu",
+        "torchvision", "torchvision.transforms",
+        "torchvision.transforms.functional",
+    ]:
+        if name not in sys.modules:
+            m = types.ModuleType(name)
+            m.__path__ = []
+            sys.modules[name] = m
+
+    contractions = _load("makani.models.common.contractions",
+                         "models/common/contractions.py")
+    activations = _load("makani.models.common.activations",
+                        "models/common/activations.py")
+    layers = _load("makani.models.common.layers", "models/common/layers.py")
+    common = sys.modules["makani.models.common"]
+    for leaf in ("ComplexReLU", "ComplexActivation"):
+        setattr(common, leaf, getattr(activations, leaf))
+    for leaf in ("DropPath", "PatchEmbed", "MLP", "EncoderDecoder",
+                 "RealFFT2", "InverseRealFFT2"):
+        setattr(common, leaf, getattr(layers, leaf))
+
+    img_utils = _load("makani.utils.img_utils", "utils/img_utils.py")
+    sys.modules["makani.utils"].img_utils = img_utils
+
+    comm = types.ModuleType("makani.utils.comm")
+    comm.get_size = lambda name: 1
+    comm.get_rank = lambda name: 0
+    sys.modules["makani.utils.comm"] = comm
+    sys.modules["makani.utils"].comm = comm
+
+    mpu_layers = types.ModuleType("makani.mpu.layers")
+    for nm in ("DistributedMatmul", "DistributedMLP", "DistributedAttention",
+               "DistributedEncoderDecoder"):
+        setattr(mpu_layers, nm, None)
+    sys.modules["makani.mpu.layers"] = mpu_layers
+
+    afno1 = _load("makani.models.networks.afnonet", "models/networks/afnonet.py")
+    afno2 = _load("makani.models.networks.afnonet_v2",
+                  "models/networks/afnonet_v2.py")
+    vit = _load("makani.models.networks.vit", "models/networks/vit.py")
+
+    ns = types.SimpleNamespace(
+        contractions=contractions, layers=layers, activations=activations,
+        afnonet=afno1, afnonet_v2=afno2, vit=vit)
+    return ns
+
+
+def _t(arr):
+    return torch.from_numpy(np.asarray(arr))
+
+
+def _np(t):
+    return t.detach().cpu().numpy()
+
+
+def _rand_c(rng, *shape):
+    return (rng.standard_normal(shape) + 1j * rng.standard_normal(shape)).astype(
+        np.complex64)
+
+
+# ---------------------------------------------------------------------------
+# contraction zoo
+# ---------------------------------------------------------------------------
+
+def _assert_close(jax_out, torch_out, rtol=3e-5, atol=None):
+    ref_np = _np(torch_out)
+    atol = atol if atol is not None else 3e-5 * np.abs(ref_np).max()
+    np.testing.assert_allclose(np.asarray(jax_out), ref_np, rtol=rtol, atol=atol)
+
+
+def test_contraction_zoo_matches_reference(ref):
+    from makani_tpu.ops import complex_ops as co
+
+    rng = np.random.default_rng(0)
+    B, I, O, X, Y, R = 2, 3, 5, 6, 4, 3
+    x1 = _rand_c(rng, B, I, X)
+    x2 = _rand_c(rng, B, I, X, Y)
+    w_io = _rand_c(rng, I, O)
+    w_ioxy = _rand_c(rng, I, O, X, Y)
+    w_iox = _rand_c(rng, I, O, X)
+    w_xio = _rand_c(rng, X, I, O)
+    w_ior = _rand_c(rng, I, O, R)
+    a_xr = _rand_c(rng, X, R)
+    b_yr = _rand_c(rng, Y, R)
+    bias = _rand_c(rng, 1, O, X, Y)
+    bias1 = _rand_c(rng, 1, O, X)
+
+    rc = ref.contractions
+    cases = [
+        (co.compl_mul1d(jnp.asarray(x1), jnp.asarray(w_io)),
+         rc.compl_mul1d_fwd(_t(x1), _t(w_io))),
+        (co.compl_mul1d(jnp.asarray(x1), jnp.asarray(w_io)) + jnp.asarray(bias1),
+         rc.compl_muladd1d_fwd(_t(x1), _t(w_io), _t(bias1))),
+        (co.compl_mul2d(jnp.asarray(x2), jnp.asarray(w_io)),
+         rc.compl_mul2d_fwd(_t(x2), _t(w_io))),
+        (co.compl_muladd2d(jnp.asarray(x2), jnp.asarray(w_io), jnp.asarray(bias)),
+         rc.compl_muladd2d_fwd(_t(x2), _t(w_io), _t(bias))),
+        (co.compl_exp_mul2d(jnp.asarray(x2), jnp.asarray(w_xio)),
+         rc.compl_exp_mul2d_fwd(_t(x2), _t(w_xio))),
+        (co.compl_exp_muladd2d(jnp.asarray(x2), jnp.asarray(w_xio), jnp.asarray(bias)),
+         rc.compl_exp_muladd2d_fwd(_t(x2), _t(w_xio), _t(bias))),
+        (co.contract_diagonal(jnp.asarray(x2), jnp.asarray(w_ioxy)),
+         rc._contract_diagonal(_t(x2), _t(w_ioxy))),
+        (co.contract_dhconv(jnp.asarray(x2), jnp.asarray(w_iox)),
+         rc._contract_dhconv(_t(x2), _t(w_iox))),
+        (co.contract_rank(jnp.asarray(x2), jnp.asarray(w_ior),
+                          jnp.asarray(a_xr), jnp.asarray(b_yr)),
+         rc._contract_rank(_t(x2), _t(w_ior), _t(a_xr), _t(b_yr))),
+    ]
+    for got, want in cases:
+        _assert_close(got, want)
+
+
+# ---------------------------------------------------------------------------
+# weight copying helpers
+# ---------------------------------------------------------------------------
+
+def _squeeze11(a):
+    a = np.asarray(a)
+    if a.ndim == 4 and a.shape[2] == a.shape[3] == 1:
+        return a[:, :, 0, 0]
+    return a
+
+
+def _fill_from_torch(params, mapping):
+    """Replace every leaf of a flax param tree using mapping(path)->np array.
+
+    path is the '/'-joined key path without the leading 'params'.
+    """
+    flat, treedef = jax.tree_util.tree_flatten_with_path(params)
+    out = []
+    for kp, leaf in flat:
+        path = "/".join(
+            k.key if hasattr(k, "key") else str(k) for k in kp)
+        path = re.sub(r"^params/", "", path)
+        val = mapping(path)
+        assert val is not None, f"no torch source for param {path}"
+        val = np.asarray(val, dtype=np.float32)
+        assert val.shape == leaf.shape, (
+            f"{path}: torch {val.shape} vs flax {leaf.shape}")
+        out.append(jnp.asarray(val))
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
+def _state(model):
+    return {k: _np(v) for k, v in model.state_dict().items()}
+
+
+# ---------------------------------------------------------------------------
+# AFNO v2
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("norm,thresh", [
+    ("instance_norm", 1.0),
+    ("layer_norm", 0.5),
+])
+def test_afnonet_v2_forward_matches_reference(ref, norm, thresh):
+    from makani_tpu.models.networks.afnonet_v2 import (
+        AdaptiveFourierNeuralOperatorNet as JaxAFNO2)
+
+    kw = dict(inp_shape=(16, 32), patch_size=(4, 4), inp_chans=3, out_chans=3,
+              embed_dim=16, num_layers=2, num_blocks=4,
+              sparsity_threshold=0.01, normalization_layer=norm,
+              hard_thresholding_fraction=thresh)
+    torch.manual_seed(0)
+    tm = ref.afnonet_v2.AdaptiveFourierNeuralOperatorNet(
+        use_complex_kernels=True, verbose=False, **kw).eval()
+    sd = _state(tm)
+
+    jm = JaxAFNO2(**kw)
+    x = np.random.default_rng(1).standard_normal((2, 3, 16, 32)).astype(np.float32)
+    params = jax.jit(jm.init)(jax.random.PRNGKey(0), jnp.asarray(x))
+
+    def mapping(path):
+        m = re.match(r"blocks_(\d+)/(.*)", path)
+        if m:
+            i, rest = m.group(1), m.group(2)
+            pre = f"blocks.{i}."
+            if rest in ("norm1/weight", "norm1/bias", "norm2/weight", "norm2/bias"):
+                return sd[pre + rest.replace("/", ".")]
+            if rest.startswith("filter/"):
+                return sd[pre + "filter." + rest.split("/")[1]]
+            if rest == "skip_weight":
+                return _squeeze11(sd[pre + "skip_layer.weight"])
+            if rest == "skip_bias":
+                return sd[pre + "skip_layer.bias"]
+            if rest == "mlp/fc1/weight":
+                return _squeeze11(sd[pre + "mlp.fwd.0.weight"])
+            if rest == "mlp/fc1/bias":
+                return sd[pre + "mlp.fwd.0.bias"]
+            if rest == "mlp/fc2/weight":
+                return _squeeze11(sd[pre + "mlp.fwd.3.weight"])
+            if rest == "mlp/fc2/bias":
+                return sd[pre + "mlp.fwd.3.bias"]
+            return None
+        if path == "patch_embed/weight":
+            return sd["patch_embed.proj.weight"]
+        if path == "patch_embed/bias":
+            return sd["patch_embed.proj.bias"]
+        if path == "pos_embed":
+            return sd["pos_embed"]
+        if path == "head_weight":
+            return _squeeze11(sd["head.weight"])
+        return None
+
+    params = {"params": _fill_from_torch(params["params"], mapping)}
+
+    with torch.no_grad():
+        want = _np(tm(_t(x)))
+    got = np.asarray(jax.jit(lambda p, v: jm.apply(p, v))(params, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, rtol=2e-4,
+                               atol=2e-5 * np.abs(want).max())
+
+
+# ---------------------------------------------------------------------------
+# AFNO v1 + PrecipNet
+# ---------------------------------------------------------------------------
+
+def _afno1_mapping(sd):
+    def mapping(path):
+        m = re.match(r"blocks_(\d+)/(.*)", path)
+        if m:
+            i, rest = m.group(1), m.group(2)
+            pre = f"blocks.{i}."
+            mm = re.match(r"norm([12])/(scale|bias)", rest)
+            if mm:
+                leaf = "weight" if mm.group(2) == "scale" else "bias"
+                return sd[pre + f"norm{mm.group(1)}.{leaf}"]
+            if rest.startswith("filter/"):
+                return sd[pre + "filter." + rest.split("/")[1]]
+            mm = re.match(r"mlp/fc([12])/(kernel|bias)", rest)
+            if mm:
+                w = sd[pre + f"mlp.fc{mm.group(1)}." +
+                       ("weight" if mm.group(2) == "kernel" else "bias")]
+                return w.T if mm.group(2) == "kernel" else w
+            return None
+        if path == "patch_embed/weight":
+            return sd["patch_embed.proj.weight"]
+        if path == "patch_embed/bias":
+            return sd["patch_embed.proj.bias"]
+        if path == "pos_embed":
+            return sd["pos_embed"]
+        if path == "head/kernel":
+            return sd["head.weight"].T
+        return None
+    return mapping
+
+
+def test_afnonet_v1_forward_matches_reference(ref):
+    from makani_tpu.models.networks.afnonet import (
+        AdaptiveFourierNeuralOperatorNetV1 as JaxAFNO1)
+
+    kw = dict(inp_shape=(16, 32), patch_size=(4, 4), inp_chans=3, out_chans=3,
+              embed_dim=16, num_layers=2, num_blocks=4,
+              sparsity_threshold=0.01, hard_thresholding_fraction=0.75)
+    torch.manual_seed(0)
+    tm = ref.afnonet.AdaptiveFourierNeuralOperatorNet(**kw).eval()
+    sd = _state(tm)
+
+    jm = JaxAFNO1(**kw)
+    x = np.random.default_rng(2).standard_normal((2, 3, 16, 32)).astype(np.float32)
+    params = jax.jit(jm.init)(jax.random.PRNGKey(0), jnp.asarray(x))
+    params = {"params": _fill_from_torch(params["params"], _afno1_mapping(sd))}
+
+    with torch.no_grad():
+        want = _np(tm(_t(x)))
+    got = np.asarray(jax.jit(lambda p, v: jm.apply(p, v))(params, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, rtol=2e-4,
+                               atol=2e-5 * np.abs(want).max())
+
+
+def test_precipnet_forward_matches_reference(ref):
+    from makani_tpu.models.networks.afnonet import (
+        AdaptiveFourierNeuralOperatorNetV1 as JaxAFNO1, PrecipNet as JaxPrecip)
+
+    kw = dict(inp_shape=(16, 32), patch_size=(4, 4), inp_chans=3, out_chans=3,
+              embed_dim=16, num_layers=2, num_blocks=4)
+    torch.manual_seed(1)
+    t_backbone = ref.afnonet.AdaptiveFourierNeuralOperatorNet(**kw)
+    tm = ref.afnonet.PrecipNet(t_backbone, patch_size=(4, 4), inp_chans=3,
+                               out_chans=3).eval()
+    sd = _state(tm)
+    back_sd = {k[len("backbone."):]: v for k, v in sd.items()
+               if k.startswith("backbone.")}
+    back_map = _afno1_mapping(back_sd)
+
+    jm = JaxPrecip(backbone=JaxAFNO1(**kw), out_chans=3)
+    x = np.random.default_rng(3).standard_normal((2, 3, 16, 32)).astype(np.float32)
+    params = jax.jit(jm.init)(jax.random.PRNGKey(0), jnp.asarray(x))
+
+    def mapping(path):
+        if path.startswith("backbone/"):
+            return back_map(path[len("backbone/"):])
+        if path == "conv/kernel":
+            # torch conv (O, I, kh, kw) -> flax (kh, kw, I, O)
+            return np.transpose(sd["conv.weight"], (2, 3, 1, 0))
+        if path == "conv/bias":
+            return sd["conv.bias"]
+        return None
+
+    params = {"params": _fill_from_torch(params["params"], mapping)}
+
+    with torch.no_grad():
+        want = _np(tm(_t(x)))
+    got = np.asarray(jax.jit(lambda p, v: jm.apply(p, v))(params, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, rtol=2e-4,
+                               atol=2e-5 * max(np.abs(want).max(), 1e-3))
+
+
+# ---------------------------------------------------------------------------
+# ViT (serial path)
+# ---------------------------------------------------------------------------
+
+def test_vit_forward_matches_reference(ref):
+    from makani_tpu.models.networks.vit import VisionTransformer as JaxViT
+
+    kw = dict(inp_shape=(16, 32), patch_size=(4, 4), inp_chans=3, out_chans=3,
+              embed_dim=16, depth=2, num_heads=4, qkv_bias=True)
+    torch.manual_seed(0)
+    tm = ref.vit.VisionTransformer(**kw).eval()
+    sd = _state(tm)
+
+    jm = JaxViT(**kw)
+    x = np.random.default_rng(4).standard_normal((2, 3, 16, 32)).astype(np.float32)
+    params = jax.jit(jm.init)(jax.random.PRNGKey(0), jnp.asarray(x))
+
+    def mapping(path):
+        m = re.match(r"blocks_(\d+)/(.*)", path)
+        if m:
+            i, rest = m.group(1), m.group(2)
+            pre = f"blocks.{i}."
+            mm = re.match(r"norm([12])/(scale|bias)", rest)
+            if mm:
+                leaf = "weight" if mm.group(2) == "scale" else "bias"
+                return sd[pre + f"norm{mm.group(1)}.{leaf}"]
+            mm = re.match(r"attn/(qkv|proj)/(kernel|bias)", rest)
+            if mm:
+                w = sd[pre + f"attn.{mm.group(1)}." +
+                       ("weight" if mm.group(2) == "kernel" else "bias")]
+                return w.T if mm.group(2) == "kernel" else w
+            mm = re.match(r"mlp_fc([12])/(kernel|bias)", rest)
+            if mm:
+                w = sd[pre + f"mlp.fwd.{0 if mm.group(1) == '1' else 3}." +
+                       ("weight" if mm.group(2) == "kernel" else "bias")]
+                return w.T if mm.group(2) == "kernel" else w
+            return None
+        if path == "patch_embed/weight":
+            return sd["patch_embed.proj.weight"]
+        if path == "patch_embed/bias":
+            return sd["patch_embed.proj.bias"]
+        if path == "pos_embed":
+            return sd["pos_embed"]
+        if path == "norm/scale":
+            return sd["norm.weight"]
+        if path == "norm/bias":
+            return sd["norm.bias"]
+        if path == "head/kernel":
+            return sd["head.weight"].T
+        return None
+
+    params = {"params": _fill_from_torch(params["params"], mapping)}
+
+    with torch.no_grad():
+        want = _np(tm(_t(x)))
+    got = np.asarray(jax.jit(lambda p, v: jm.apply(p, v))(params, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, rtol=2e-4,
+                               atol=3e-5 * np.abs(want).max())
+
+
+# ---------------------------------------------------------------------------
+# truncated real FFT2 (the FNO transform pair)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("lmax,mmax", [(None, None), (11, 9), (12, 8)])
+def test_realfft2_matches_reference(ref, lmax, mmax):
+    from makani_tpu.ops.fft import RealFFT2, InverseRealFFT2
+
+    nlat, nlon = 16, 32
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((2, 3, nlat, nlon)).astype(np.float32)
+
+    t_fft = ref.layers.RealFFT2(nlat, nlon, lmax=lmax, mmax=mmax)
+    t_ifft = ref.layers.InverseRealFFT2(nlat, nlon, lmax=lmax, mmax=mmax)
+    j_fft = RealFFT2(nlat, nlon, lmax=lmax, mmax=mmax)
+    j_ifft = InverseRealFFT2(nlat, nlon, lmax=lmax, mmax=mmax)
+
+    with torch.no_grad():
+        want_c = t_fft(_t(x))
+        want_back = _np(t_ifft(want_c))
+    got_c = np.asarray(j_fft(jnp.asarray(x)))
+    np.testing.assert_allclose(got_c.real, _np(want_c.real), rtol=1e-5,
+                               atol=1e-5 * np.abs(_np(want_c)).max())
+    np.testing.assert_allclose(got_c.imag, _np(want_c.imag), rtol=1e-5,
+                               atol=1e-5 * np.abs(_np(want_c)).max())
+    got_back = np.asarray(j_ifft(jnp.asarray(got_c)))
+    np.testing.assert_allclose(got_back, want_back, rtol=1e-5,
+                               atol=1e-5 * np.abs(want_back).max())
+
+
+# ---------------------------------------------------------------------------
+# gradient parity (AFNO v2)
+# ---------------------------------------------------------------------------
+
+def test_afnonet_v2_grads_match_reference(ref):
+    """Backward parity: d(mean(out^2))/dw matches torch autograd on shared
+    weights — pins the VJP conventions through rfft2/irfft2, the blockwise
+    complex MLP, softshrink and instance norm."""
+    from makani_tpu.models.networks.afnonet_v2 import (
+        AdaptiveFourierNeuralOperatorNet as JaxAFNO2)
+
+    kw = dict(inp_shape=(16, 32), patch_size=(4, 4), inp_chans=3, out_chans=3,
+              embed_dim=16, num_layers=1, num_blocks=4,
+              sparsity_threshold=0.01, normalization_layer="instance_norm",
+              hard_thresholding_fraction=1.0)
+    torch.manual_seed(0)
+    tm = ref.afnonet_v2.AdaptiveFourierNeuralOperatorNet(
+        use_complex_kernels=True, verbose=False, **kw).eval()
+    sd = _state(tm)
+
+    jm = JaxAFNO2(**kw)
+    x = np.random.default_rng(6).standard_normal((2, 3, 16, 32)).astype(np.float32)
+    params = jax.jit(jm.init)(jax.random.PRNGKey(0), jnp.asarray(x))
+
+    def mapping(path):
+        m = re.match(r"blocks_(\d+)/(.*)", path)
+        if m:
+            i, rest = m.group(1), m.group(2)
+            pre = f"blocks.{i}."
+            if rest in ("norm1/weight", "norm1/bias", "norm2/weight", "norm2/bias"):
+                return sd[pre + rest.replace("/", ".")]
+            if rest.startswith("filter/"):
+                return sd[pre + "filter." + rest.split("/")[1]]
+            if rest == "skip_weight":
+                return _squeeze11(sd[pre + "skip_layer.weight"])
+            if rest == "skip_bias":
+                return sd[pre + "skip_layer.bias"]
+            if rest == "mlp/fc1/weight":
+                return _squeeze11(sd[pre + "mlp.fwd.0.weight"])
+            if rest == "mlp/fc1/bias":
+                return sd[pre + "mlp.fwd.0.bias"]
+            if rest == "mlp/fc2/weight":
+                return _squeeze11(sd[pre + "mlp.fwd.3.weight"])
+            if rest == "mlp/fc2/bias":
+                return sd[pre + "mlp.fwd.3.bias"]
+            return None
+        if path == "patch_embed/weight":
+            return sd["patch_embed.proj.weight"]
+        if path == "patch_embed/bias":
+            return sd["patch_embed.proj.bias"]
+        if path == "pos_embed":
+            return sd["pos_embed"]
+        if path == "head_weight":
+            return _squeeze11(sd["head.weight"])
+        return None
+
+    params = {"params": _fill_from_torch(params["params"], mapping)}
+
+    # torch grads
+    loss_t = (tm(_t(x)) ** 2).mean()
+    loss_t.backward()
+    tg = {k: _np(p.grad) for k, p in tm.named_parameters() if p.grad is not None}
+
+    # jax grads
+    def loss_fn(p):
+        return jnp.mean(jm.apply(p, jnp.asarray(x)) ** 2)
+    g = jax.jit(jax.grad(loss_fn))(params)["params"]
+
+    checks = [
+        (np.asarray(g["patch_embed"]["weight"]), tg["patch_embed.proj.weight"]),
+        (np.asarray(g["pos_embed"]), tg["pos_embed"]),
+        (np.asarray(g["blocks_0"]["filter"]["w1"]), tg["blocks.0.filter.w1"]),
+        (np.asarray(g["blocks_0"]["filter"]["w2"]), tg["blocks.0.filter.w2"]),
+        (np.asarray(g["blocks_0"]["skip_weight"]),
+         _squeeze11(tg["blocks.0.skip_layer.weight"])),
+        (np.asarray(g["blocks_0"]["norm1"]["weight"]), tg["blocks.0.norm1.weight"]),
+        (np.asarray(g["head_weight"]), _squeeze11(tg["head.weight"])),
+    ]
+    for got, want in checks:
+        np.testing.assert_allclose(
+            got, want, rtol=5e-4, atol=5e-5 * max(np.abs(want).max(), 1e-8))
+
+
+# ---------------------------------------------------------------------------
+# complex activations
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("mode,slope", [
+    ("cartesian", 0.0), ("cartesian", 0.1),
+    ("modulus", 0.0), ("halfplane", 0.2), ("real", 0.1),
+])
+def test_complex_relu_matches_reference(ref, mode, slope):
+    from makani_tpu.models.common.activations import ComplexReLU
+
+    rng = np.random.default_rng(7)
+    z = _rand_c(rng, 2, 3, 8, 5)
+
+    tact = ref.activations.ComplexReLU(
+        negative_slope=slope, mode=mode, bias_shape=None, scale=0.5)
+    with torch.no_grad():
+        want = _np(tact(_t(z)))
+
+    jact = ComplexReLU(negative_slope=slope, mode=mode, bias_shape=None, scale=0.5)
+    variables = jact.init(jax.random.PRNGKey(0), jnp.asarray(z))
+    got = np.asarray(jact.apply(variables, jnp.asarray(z)))
+    np.testing.assert_allclose(got, want, rtol=1e-5,
+                               atol=1e-6 * np.abs(want).max())
