@@ -15,7 +15,6 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from makani_tpu.models.common.activations import gelu_exact
 
 
 def normal_init(std):
@@ -69,7 +68,7 @@ class MLP(nn.Module):
     in_features: int
     hidden_features: Optional[int] = None
     out_features: Optional[int] = None
-    act_layer: Callable = gelu_exact
+    act_layer: Callable = jax.nn.gelu
     output_bias: bool = True
     drop_rate: float = 0.0
     drop_type: str = "iid"
@@ -112,7 +111,7 @@ class EncoderDecoder(nn.Module):
     input_dim: int
     output_dim: int
     hidden_dim: int
-    act_layer: Callable = gelu_exact
+    act_layer: Callable = jax.nn.gelu
     gain: float = 1.0
 
     @nn.compact

@@ -13,7 +13,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from makani_tpu.models.common import DropPath, PatchEmbed
-from makani_tpu.models.common.activations import gelu_exact
+from makani_tpu.models.common.activations import get_activation
 
 
 def _softshrink(x, lambd):
@@ -30,11 +30,12 @@ class MlpV1(nn.Module):
     in_features: int
     hidden_features: int
     drop_rate: float = 0.0
+    activation_function: str = "gelu"
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         x = nn.Dense(self.hidden_features, kernel_init=_trunc02, name="fc1")(x)
-        x = gelu_exact(x)
+        x = get_activation(self.activation_function)(x)
         if self.drop_rate > 0.0:
             x = nn.Dropout(rate=self.drop_rate)(x, deterministic=deterministic)
         x = nn.Dense(self.in_features, kernel_init=_trunc02, name="fc2")(x)
@@ -122,6 +123,7 @@ class BlockV1(nn.Module):
     num_blocks: int = 8
     sparsity_threshold: float = 0.01
     hard_thresholding_fraction: float = 1.0
+    activation_function: str = "gelu"
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -133,7 +135,8 @@ class BlockV1(nn.Module):
             x = x + residual
             residual = x
         x = nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
-        x = MlpV1(self.dim, int(self.dim * self.mlp_ratio), self.drop_rate, name="mlp")(
+        x = MlpV1(self.dim, int(self.dim * self.mlp_ratio), self.drop_rate,
+                  activation_function=self.activation_function, name="mlp")(
             x, deterministic=deterministic)
         if self.path_drop_rate > 0.0:
             x = DropPath(self.path_drop_rate, name="drop_path")(x, deterministic=deterministic)
@@ -156,6 +159,7 @@ class AdaptiveFourierNeuralOperatorNetV1(nn.Module):
     num_blocks: int = 16
     sparsity_threshold: float = 0.01
     hard_thresholding_fraction: float = 1.0
+    activation_function: str = "gelu"
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -183,6 +187,7 @@ class AdaptiveFourierNeuralOperatorNetV1(nn.Module):
                 num_blocks=self.num_blocks,
                 sparsity_threshold=self.sparsity_threshold,
                 hard_thresholding_fraction=self.hard_thresholding_fraction,
+                activation_function=self.activation_function,
                 name=f"blocks_{i}",
             )(x, deterministic=deterministic)
 

@@ -18,7 +18,7 @@ import flax.linen as nn
 from makani_tpu.models.common import DropPath, MLP, PatchEmbed, InstanceNorm2d
 from makani_tpu.models.common.layers import Conv1x1, normal_init
 from makani_tpu.ops.complex_ops import view_as_complex
-from makani_tpu.models.common.activations import gelu_exact
+from makani_tpu.models.common.activations import get_activation
 
 
 def _softshrink(x, lambd):
@@ -108,6 +108,7 @@ class BlockV2(nn.Module):
     skip_fno: str = "linear"
     nested_skip_fno: bool = True
     checkpointing: int = 0
+    activation_function: str = "gelu"
 
     def _norm(self, name):
         if self.norm_layer == "instance_norm":
@@ -142,7 +143,7 @@ class BlockV2(nn.Module):
         x = MLP(
             in_features=self.dim,
             hidden_features=int(self.dim * self.mlp_ratio),
-            act_layer=gelu_exact,
+            act_layer=get_activation(self.activation_function),
             drop_rate=self.drop_rate,
             checkpointing=self.checkpointing,
             name="mlp",
@@ -189,6 +190,7 @@ class AdaptiveFourierNeuralOperatorNet(nn.Module):
     nested_skip_fno: bool = True
     hard_thresholding_fraction: float = 1.0
     checkpointing: int = 0
+    activation_function: str = "gelu"
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -225,6 +227,7 @@ class AdaptiveFourierNeuralOperatorNet(nn.Module):
                 skip_fno=self.skip_fno,
                 nested_skip_fno=self.nested_skip_fno,
                 checkpointing=self.checkpointing,
+                activation_function=self.activation_function,
                 name=f"blocks_{i}",
             )(x, deterministic=deterministic)
 

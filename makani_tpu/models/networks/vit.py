@@ -14,7 +14,7 @@ import flax.linen as nn
 
 from makani_tpu.models.common import DropPath, PatchEmbed
 from makani_tpu.models.common.attention import scaled_dot_product_attention
-from makani_tpu.models.common.activations import gelu_exact
+from makani_tpu.models.common.activations import get_activation
 
 
 def _trunc02(key, shape, dtype=jnp.float32):
@@ -73,6 +73,7 @@ class ViTBlock(nn.Module):
     mlp_drop_rate: float = 0.0
     attn_drop_rate: float = 0.0
     path_drop_rate: float = 0.0
+    activation_function: str = "gelu"
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -89,7 +90,7 @@ class ViTBlock(nn.Module):
         x = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
 
         h = nn.Dense(int(self.dim * self.mlp_ratio), kernel_init=_trunc02, name="mlp_fc1")(x)
-        h = gelu_exact(h)
+        h = get_activation(self.activation_function)(h)
         if self.mlp_drop_rate > 0.0:
             h = nn.Dropout(rate=self.mlp_drop_rate)(h, deterministic=deterministic)
         h = nn.Dense(self.dim, kernel_init=_trunc02, name="mlp_fc2")(h)
@@ -114,6 +115,7 @@ class VisionTransformer(nn.Module):
     mlp_drop_rate: float = 0.0
     attn_drop_rate: float = 0.0
     path_drop_rate: float = 0.0
+    activation_function: str = "gelu"
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -137,6 +139,7 @@ class VisionTransformer(nn.Module):
                 dim=self.embed_dim, num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
                 qkv_bias=self.qkv_bias, mlp_drop_rate=self.mlp_drop_rate,
                 attn_drop_rate=self.attn_drop_rate, path_drop_rate=float(dpr[i]),
+                activation_function=self.activation_function,
                 name=f"blocks_{i}",
             )(x, deterministic=deterministic)
 
