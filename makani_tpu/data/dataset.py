@@ -72,6 +72,18 @@ class MultifilesDataset:
 
         self._get_files_stats()
 
+        if enable_logging:
+            # dataset summary log, gated like the reference's
+            # (ref: data_loader_multifiles.py enable_logging)
+            import logging
+            logging.getLogger(__name__).info(
+                "Found %d yearly files in %s: %d samples total, image shape "
+                "%dx%d (%d channels), local read window %dx%d @ (%d,%d)",
+                self.n_years, location, self.n_samples_total,
+                self.img_shape[0], self.img_shape[1], self.total_channels,
+                self.read_shape[0], self.read_shape[1],
+                self.read_anchor[0], self.read_anchor[1])
+
         # normalization stats
         self.normalize = True
         if params.normalization == "minmax":

@@ -28,11 +28,23 @@ def gelu_exact(x):
     return jax.nn.gelu(x, approximate=False)
 
 
+_warned_gelu_approx = False
+
+
 def get_activation(name: str) -> Callable:
+    global _warned_gelu_approx
     if name == "relu":
         return jax.nn.relu
     if name == "gelu":
         # tanh-approx: measured 1.38x faster e2e than erf on this chip
+        if not _warned_gelu_approx:
+            _warned_gelu_approx = True
+            import logging
+            logging.getLogger(__name__).info(
+                "activation 'gelu' uses the tanh approximation (~1e-3 rel "
+                "deviation from the torch reference's erf GELU; measured 27%% "
+                "faster on-chip). Set activation_function: gelu_exact for "
+                "bit parity with reference checkpoints.")
         return jax.nn.gelu
     if name == "gelu_exact":
         return gelu_exact

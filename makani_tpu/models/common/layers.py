@@ -16,7 +16,6 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 
-
 def normal_init(std):
     def init(key, shape, dtype=jnp.float32):
         return std * jax.random.normal(key, shape, dtype)

@@ -94,7 +94,9 @@ class Preprocessor2D:
             oro = np.asarray(get_orography(params.orography_path), dtype=np.float64)
             oro = oro.reshape(1, 1, *oro.shape)
             eps = 1.0e-6
-            oro = ((oro - oro.mean()) / (oro.std() + eps)).astype(np.float32)
+            # ddof=1: the reference z-scores with torch.std (unbiased),
+            # ref: preprocessor.py:127-131
+            oro = ((oro - oro.mean()) / (oro.std(ddof=1) + eps)).astype(np.float32)
             oro = oro[:, :, start_x:end_x, start_y:end_y]
             static_features = oro if static_features is None else np.concatenate([static_features, oro], axis=1)
 

@@ -71,8 +71,17 @@ class MultiStepWrapper(nn.Module):
         stats = prep.history_compute_stats(inpa)
         inpan = prep.history_normalize(inpa, stats, target=False)
         inpans = prep.add_static_features(inpan)
+        if self.lsm_mask_channels:
+            # same land-sea-mask gate as SingleStepWrapper (fork capability,
+            # ref: stepper.py:45-66) — applies at every unrolled step
+            lsm = inpans[:, -1]
+            for c in self.lsm_mask_channels:
+                inpans = inpans.at[:, c].mul(lsm)
         predn = self.model(inpans, deterministic=deterministic)
         pred = prep.history_denormalize(predn, stats, target=True)
+        if self.lsm_mask_channels:
+            for c in self.lsm_mask_channels:
+                pred = pred.at[:, c].mul(lsm)
         pred = prep.add_residual(inpt, pred)
         return pred
 

@@ -90,7 +90,7 @@ def _fit_spec(spec: P, shape, mesh) -> P:
     return P(*out)
 
 
-def spec_for_path(path: str, shape, mesh=None) -> P:
+def _match_spec(path: str, shape, mesh) -> P:
     for pattern, fn in _RULES:
         if re.match(pattern, path):
             spec = fn(tuple(shape))
@@ -99,6 +99,18 @@ def spec_for_path(path: str, shape, mesh=None) -> P:
                 spec = P(*spec[: len(shape)])
             return _fit_spec(spec, shape, mesh)
     return P()
+
+
+def spec_for_path(path: str, shape, mesh=None) -> P:
+    shape = tuple(shape)
+    # params under an nn.scan (sfnonet scan_layers) carry a leading stacked
+    # LAYER axis; rules are written for the unstacked shape, so match on
+    # shape[1:] and keep the layer axis replicated — otherwise e.g. the
+    # `filter/weight` rule would put "fin" on the layer dim.
+    if "scan_blocks/" in path and shape:
+        inner = _match_spec(path, shape[1:], mesh)
+        return P(None, *inner)
+    return _match_spec(path, shape, mesh)
 
 
 def _flatten_with_paths(tree):

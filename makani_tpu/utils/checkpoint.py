@@ -92,7 +92,17 @@ def restore_checkpoint(path, params_template, opt_state_template=None):
     wait_for_saves()
     path = _resolve(path)
     ckptr = ocp.StandardCheckpointer()
-    params = ckptr.restore(os.path.join(path, "model"), target=params_template)
+    try:
+        params = ckptr.restore(os.path.join(path, "model"), target=params_template)
+    except (ValueError, KeyError) as e:
+        raise RuntimeError(
+            f"checkpoint param-tree mismatch restoring {path}: {e}\n"
+            "Known param-tree breaks: AFNO v2's normalization='layer_norm' "
+            "variant gained (H, W) affine weight/bias leaves (LayerNormHW) — "
+            "checkpoints of that variant saved before the change cannot be "
+            "restored; re-save or pad the missing leaves. "
+            "tools/convert_torch_checkpoint.py maps SFNO trees only."
+        ) from e
 
     opt_state = None
     opt_path = os.path.join(path, "opt_state")

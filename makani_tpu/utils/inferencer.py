@@ -113,12 +113,17 @@ class Inferencer(Trainer):
             return model.apply({"params": p}, x, unpredicted_inp=uinp,
                                deterministic=True).astype(jnp.float32)
 
+        data_size = float(self.data_parallel_size)
+
         def metrics_step(p, buffers, rmse_t, rmse_s, inpt, uinp, tar, zen_tar, idt):
-            """(ref: inferencer.py:167-206)."""
+            """(ref: inferencer.py:167-206). Loss is divided by data_size so
+            the reported validation loss matches Trainer's eval step
+            (trainer.py eval_ar_step) under data-parallel inference — the
+            metric psum over the data axis then yields the MEAN."""
             targ = prep.flatten_history(
                 jax.lax.dynamic_slice_in_dim(tar, idt, 1, axis=1))
             pred = fwd(p, inpt, uinp)
-            loss = loss_obj(pred, targ, inpt, training=False)
+            loss = loss_obj(pred, targ, inpt, training=False) / data_size
             buffers = metrics.update(buffers, pred, targ, loss, idt)
             sqdif = jnp.sum((pred - targ) ** 2, axis=0)  # (C, H, W), sum over batch
             rmse_t = rmse_t.at[idt].add(jnp.mean(sqdif, axis=(-2, -1)))
@@ -252,15 +257,20 @@ class Inferencer(Trainer):
         rt = jnp.zeros((S, C), jnp.float32)
         rs = jnp.zeros((C, H, W), jnp.float32)
 
-        eval_steps = 0
+        eval_samples = 0
         for data in self.valid_dataloader:
-            eval_steps += 1
             inp, tar, zen_inp, zen_tar = self._device_batch(data)
+            eval_samples += int(inp.shape[0])
             buffers, rt, rs = self._rollout_metrics(
                 self.model_params, buffers, rt, rs, inp, tar, zen_inp, zen_tar)
 
-        rmse_over_space = np.asarray(rs) / (S * eval_steps)
-        rmse_over_time = np.sqrt(np.asarray(rt) / eval_steps)
+        # metrics_step SUMS squared error over the batch dim, so normalize by
+        # the number of SAMPLES (not batches) — with batch_size>1 a
+        # batch-count divisor would scale the exported RMSE with batch size
+        # (same class of bug fixed in metric.py batch accounting).
+        eval_samples = max(eval_samples, 1)
+        rmse_over_space = np.asarray(rs) / (S * eval_samples)
+        rmse_over_time = np.sqrt(np.asarray(rt) / eval_samples)
         rmse_over_space = np.sqrt(rmse_over_space)
 
         logs, acc_curves, rmse_curves = self.metrics.finalize(buffers, final_inference=True)

@@ -186,9 +186,6 @@ class LossHandler:
             np.ones((self.n_future + 1, 1, 1, 1), dtype=np.float32) / float(self.n_future + 1)
         )
 
-    def is_distributed(self):
-        return False
-
     def __call__(self, prd, tar, inp=None, training=True):
         chw = jnp.asarray(self.channel_weights)
         if training:

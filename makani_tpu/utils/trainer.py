@@ -33,6 +33,25 @@ from makani_tpu.utils.losses import LossHandler
 from makani_tpu.utils.metric import MetricsHandler
 from makani_tpu.utils.optimizers import LRScheduler, build_optimizer
 
+
+def augment_batch(inp, tar, zen_inp, zen_tar, rng, do_roll, noise_std):
+    """Train-time augmentation on device: random longitude roll applied
+    consistently to inputs/targets/zenith, plus gaussian input noise
+    (ref: makani/utils/dataloaders/data_loader_dali_2d.py:300-320).
+    Shifts are drawn PER SAMPLE, matching the reference's per-sample
+    `fn.random.uniform` (data_loader_dali_2d.py:79-88) — one shift for
+    the whole batch would shrink augmentation diversity at batch>1."""
+    roll_rng, noise_rng = jax.random.split(rng)
+    if do_roll:
+        shifts = jax.random.randint(roll_rng, (inp.shape[0],), 0, inp.shape[-1])
+        roll = lambda t: None if t is None else jax.vmap(
+            lambda x, s: jnp.roll(x, s, axis=-1))(t, shifts)
+        inp, tar = roll(inp), roll(tar)
+        zen_inp, zen_tar = roll(zen_inp), roll(zen_tar)
+    if noise_std > 0.0:
+        inp = inp + noise_std * jax.random.normal(noise_rng, inp.shape, inp.dtype)
+    return inp, tar, zen_inp, zen_tar
+
 logger = logging.getLogger(__name__)
 
 
@@ -298,18 +317,7 @@ class Trainer:
         noise_std = float(self.params.get("noise_std", 0.0)) if self.params.get("add_noise", False) else 0.0
 
         def augment(inp, tar, zen_inp, zen_tar, rng):
-            """Train-time augmentation on device: random longitude roll applied
-            consistently to inputs/targets/zenith, plus gaussian input noise
-            (ref: makani/utils/dataloaders/data_loader_dali_2d.py:300-320)."""
-            roll_rng, noise_rng = jax.random.split(rng)
-            if do_roll:
-                shift = jax.random.randint(roll_rng, (), 0, inp.shape[-1])
-                roll = lambda t: None if t is None else jnp.roll(t, shift, axis=-1)
-                inp, tar = roll(inp), roll(tar)
-                zen_inp, zen_tar = roll(zen_inp), roll(zen_tar)
-            if noise_std > 0.0:
-                inp = inp + noise_std * jax.random.normal(noise_rng, inp.shape, inp.dtype)
-            return inp, tar, zen_inp, zen_tar
+            return augment_batch(inp, tar, zen_inp, zen_tar, rng, do_roll, noise_std)
 
         def train_step(model_params, opt_state, inp, tar, zen_inp, zen_tar, lr, rng):
             aug_rng, drop_rng = jax.random.split(rng)

@@ -440,3 +440,94 @@ def test_tensor_parallel_afno_matches_serial():
         comm.reset()
 
     np.testing.assert_allclose(y_tp, y_serial, rtol=2e-4, atol=2e-4)
+
+
+def test_scan_layers_tensor_parallel_matches_serial():
+    """scan_layers stacks middle-block weights on a leading LAYER axis; the
+    partitioning rules must keep that axis replicated (and shard the inner
+    dims as usual) so TP outputs still match serial. Guards the latent bug
+    where `filter/weight` would otherwise put "fin" on the layer dim."""
+    from makani_tpu.models.networks import SphericalFourierNeuralOperatorNet
+    from makani_tpu.parallel.partitioning import get_param_shardings, shard_tree
+
+    model = SphericalFourierNeuralOperatorNet(
+        inp_shape=(16, 32), out_shape=(16, 32), scale_factor=2,
+        inp_chans=2, out_chans=2, embed_dim=8, num_layers=4,
+        operator_type="dhconv", normalization_layer="instance_norm",
+        use_mlp=True, scan_layers=True, path_drop_rate=0.0)
+
+    rng = np.random.RandomState(7)
+    x = rng.randn(2, 2, 16, 32).astype(np.float32)
+
+    comm.reset()
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), jnp.asarray(x))
+    # the scan branch must actually be taken (stacked middle blocks)
+    flatv, _ = jax.tree_util.tree_flatten_with_path(variables["params"])
+    scan_paths = ["/".join(str(getattr(k, "key", k)) for k in kp)
+                  for kp, _ in flatv]
+    assert any("scan_blocks/" in p for p in scan_paths)
+    y_serial = np.asarray(jax.jit(lambda v, a: model.apply(v, a))(variables, jnp.asarray(x)))
+
+    comm.init(model_parallel_sizes=[1, 1, 2, 2], devices=jax.devices()[:8])
+    try:
+        mesh = comm.get_mesh()
+        shardings = get_param_shardings(variables["params"], mesh)
+        flat, _ = jax.tree_util.tree_flatten_with_path(shardings)
+        scan_filter = [(kp, s.spec) for kp, s in flat
+                       if "scan_blocks/" in
+                       "/".join(str(getattr(k, "key", k)) for k in kp)
+                       and "filter/weight" in
+                       "/".join(str(getattr(k, "key", k)) for k in kp)]
+        assert scan_filter
+        for _, spec in scan_filter:
+            # leading (layer) axis replicated, contracted channel dim on fin
+            assert len(spec) == 0 or spec[0] is None
+
+        vshard = {"params": shard_tree(variables["params"], shardings)}
+        xd = jax.device_put(x, NamedSharding(mesh, P("data")))
+        y_tp = np.asarray(jax.jit(lambda v, a: model.apply(v, a))(vshard, xd))
+    finally:
+        comm.reset()
+
+    np.testing.assert_allclose(y_tp, y_serial, rtol=2e-4, atol=2e-4)
+
+
+def test_scan_layers_matches_unrolled_structure():
+    """scan_layers is a compile-size optimization, not a model change: with
+    weights copied across, scan and unrolled forward agree exactly."""
+    from makani_tpu.models.networks import SphericalFourierNeuralOperatorNet
+
+    kwargs = dict(
+        inp_shape=(16, 32), out_shape=(16, 32), scale_factor=2,
+        inp_chans=2, out_chans=2, embed_dim=8, num_layers=4,
+        operator_type="dhconv", normalization_layer="instance_norm",
+        use_mlp=True, path_drop_rate=0.0)
+    scan_model = SphericalFourierNeuralOperatorNet(**kwargs, scan_layers=True)
+    loop_model = SphericalFourierNeuralOperatorNet(**kwargs, scan_layers=False)
+
+    rng = np.random.RandomState(8)
+    x = rng.randn(1, 2, 16, 32).astype(np.float32)
+
+    comm.reset()
+    sv = jax.jit(scan_model.init)(jax.random.PRNGKey(0), jnp.asarray(x))
+
+    # map scanned params -> unrolled block params: blocks_0/blocks_3 copy
+    # straight over; scan_blocks/block/* leaf i -> blocks_{i+1}/*
+    lv = jax.jit(loop_model.init)(jax.random.PRNGKey(0), jnp.asarray(x))
+    import flax
+    sflat = flax.traverse_util.flatten_dict(sv["params"])
+    lflat = flax.traverse_util.flatten_dict(lv["params"])
+    out = {}
+    for k in lflat:
+        path = "/".join(k)
+        m = __import__("re").match(r"blocks_(\d+)/(.*)$", path)
+        if m and 0 < int(m.group(1)) < 3:
+            src = ("scan_blocks", "block") + tuple(m.group(2).split("/"))
+            out[k] = np.asarray(sflat[src])[int(m.group(1)) - 1]
+        else:
+            out[k] = sflat[k]
+    lv = {"params": flax.traverse_util.unflatten_dict(out)}
+
+    y_scan = np.asarray(jax.jit(lambda v, a: scan_model.apply(v, a))(sv, jnp.asarray(x)))
+    y_loop = np.asarray(jax.jit(lambda v, a: loop_model.apply(v, a))(lv, jnp.asarray(x)))
+    np.testing.assert_allclose(y_scan, y_loop, rtol=1e-5, atol=1e-6)
