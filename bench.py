@@ -13,6 +13,7 @@ import json
 import os
 import sys
 import time
+from functools import partial
 
 import numpy as np
 
@@ -119,6 +120,11 @@ def bench_loader():
     params = init_dataset(tmp, params, n_samples_per_year=samples, n_years=1)
     params["batch_size"] = 4
     params["num_data_workers"] = 4
+
+    # BENCH_ODIRECT=1: route the native loader through O_DIRECT (aligned
+    # bounce-buffer reads in csrc) — page cache bypassed, so this measures
+    # true storage bandwidth instead of cache hits
+    params["enable_odirect"] = bool(int(os.environ.get("BENCH_ODIRECT", 0)))
 
     results = {}
     bin_dir = os.path.join(tmp, "bin")
@@ -232,6 +238,8 @@ def main():
         return bench_loader_gate()
     if os.environ.get("BENCH_MODE", "train") == "afno":
         return bench_afno()
+    if os.environ.get("BENCH_MODE", "train") == "hbm":
+        return bench_hbm()
     if os.environ.get("BENCH_MODE", "train") == "rollout":
         rollout = True
     else:
@@ -296,6 +304,41 @@ def main():
                 continue
             raise RuntimeError(last_msg)
     raise RuntimeError(f"all ladder sizes OOMed; last error: {last_msg}")
+
+
+def bench_hbm():
+    """Achievable HBM bandwidth: loop-carried saxpy (1 read + 1 write per
+    element per iteration, donation keeps residency flat). The denominator
+    for the step roofline model in BENCH_NOTES — measured, not the
+    datasheet number."""
+    import jax
+    import jax.numpy as jnp
+
+    mb = int(os.environ.get("BENCH_HBM_MB", 1024))
+    n_iters = int(os.environ.get("BENCH_ITERS", 50))
+    n = mb * 1024 * 1024 // 4
+
+    a = jnp.ones((n,), jnp.float32)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def saxpy(a):
+        return a * 1.000001 + 1e-7
+
+    a = saxpy(a)
+    float(a[0])  # compile + sync (block_until_ready lies on axon)
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        a = saxpy(a)
+    float(a[0])
+    dt = time.perf_counter() - t0
+
+    gbs = 2 * n * 4 * n_iters / dt / 1e9
+    print(json.dumps({
+        "metric": f"HBM saxpy bandwidth ({mb} MB working set)",
+        "value": round(gbs, 2),
+        "unit": "GB/s",
+        "vs_baseline": 1.0,
+    }))
 
 
 def bench_rollout():
@@ -463,10 +506,23 @@ def run_train_bench(embed):
         params = variables["params"]
         return params, tx.init(params)
 
+    # BENCH_NFUTURE>0: multistep AR training (BASELINE config 5,
+    # multistep_count = n_future+1; ref: stepper.py:84-121) — unroll the
+    # model through its own prediction, target = channel-concat of steps.
+    # Activation liveness multiplies by n_future+1; see BENCH_NOTES for the
+    # OOM boundary and the remat (BENCH_CKPT) level that rescues it.
+    n_future = int(os.environ.get("BENCH_NFUTURE", 0))
+
     def train_step(params, opt_state, x, y):
         def loss_fn(p):
-            pred = model.apply({"params": p}, x).astype(jnp.float32)
-            return jnp.mean((pred - y) ** 2)
+            preds = []
+            inpt = x
+            for _ in range(n_future + 1):
+                pred = model.apply({"params": p}, inpt).astype(jnp.float32)
+                preds.append(pred)
+                inpt = pred.astype(x.dtype)
+            out = preds[0] if n_future == 0 else jnp.concatenate(preds, axis=1)
+            return jnp.mean((out - y) ** 2)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
@@ -475,7 +531,7 @@ def run_train_bench(embed):
 
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.randn(batch, chans, nlat, nlon).astype(np.float32)).astype(jnp.bfloat16)
-    y = jnp.asarray(rng.randn(batch, chans, nlat, nlon).astype(np.float32))
+    y = jnp.asarray(rng.randn(batch, chans * (n_future + 1), nlat, nlon).astype(np.float32))
 
     key = jax.random.PRNGKey(0)
     t_start = time.perf_counter()
@@ -573,8 +629,9 @@ def run_train_bench(embed):
     prec_tag = os.environ.get("_BENCH_PREC_TAG", "high")
     if moment_dtype != "float32":
         prec_tag += f"/m:{moment_dtype}"
+    ms_tag = f" multistep{n_future + 1}" if n_future else ""
     metric = (f"SFNO-{chans}ch {nlat}x{nlon} edim{embed} L{layers} "
-              f"bf16/{prec_tag} train throughput")
+              f"bf16/{prec_tag}{ms_tag} train throughput")
 
     vs_baseline = 1.0
     prev_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_prev.json")

@@ -75,6 +75,7 @@ struct ThreadPool {
 
 struct Loader {
   std::vector<int> fds;
+  std::vector<char> fd_odirect;       // per fd: opened with O_DIRECT?
   std::vector<int64_t> n_samples;     // per file
   std::vector<int64_t> data_offsets;  // header offset per file (e.g. npy header)
   int64_t sample_bytes;               // C*H*W*itemsize
@@ -101,6 +102,47 @@ int pread_full(int fd, char* buf, int64_t count, int64_t offset) {
   return 0;
 }
 
+// O_DIRECT requires block-aligned offset/length/buffer; sample windows are
+// none of those, so read the enclosing aligned range into a posix_memalign
+// bounce buffer and copy out the slice (the reference instead pre-aligns the
+// FILES via h5_align + DALI's aligned reads; a bounce buffer serves arbitrary
+// layouts at the cost of one memcpy; tools/h5_align.py still minimizes the
+// over-read by aligning sample boundaries).
+int pread_full_direct(int fd, char* buf, int64_t count, int64_t offset) {
+  const int64_t A = 4096;
+  int64_t astart = offset & ~(A - 1);
+  int64_t aend = (offset + count + A - 1) & ~(A - 1);
+  int64_t alen = aend - astart;
+  void* tmp = nullptr;
+  if (posix_memalign(&tmp, A, (size_t)alen) != 0) return -1;
+  int64_t done = 0;
+  while (done < alen) {
+    ssize_t r = pread(fd, static_cast<char*>(tmp) + done, alen - done, astart + done);
+    if (r < 0) {
+      if (errno == EINTR) continue;
+      free(tmp);
+      return -1;
+    }
+    if (r == 0) break;  // EOF inside the trailing partial block is fine
+    done += r;
+  }
+  if (done < (offset - astart) + count) {
+    free(tmp);
+    return -1;
+  }
+  memcpy(buf, static_cast<char*>(tmp) + (offset - astart), (size_t)count);
+  free(tmp);
+  return 0;
+}
+
+// dispatch by the fd's actual open mode (O_DIRECT opens can fall back)
+int loader_pread(const Loader* L, int file_idx, char* buf, int64_t count,
+                 int64_t offset) {
+  if (L->fd_odirect[file_idx])
+    return pread_full_direct(L->fds[file_idx], buf, count, offset);
+  return pread_full(L->fds[file_idx], buf, count, offset);
+}
+
 }  // namespace
 
 extern "C" {
@@ -118,13 +160,18 @@ void* loader_create(const char** paths, int n_files, const int64_t* n_samples,
     if (use_odirect) flags |= O_DIRECT;
 #endif
     int fd = open(paths[i], flags);
-    if (fd < 0 && use_odirect) fd = open(paths[i], O_RDONLY);  // fallback
+    char got_direct = (fd >= 0 && use_odirect) ? 1 : 0;
+    if (fd < 0 && use_odirect) {  // filesystem rejects O_DIRECT: fall back
+      fd = open(paths[i], O_RDONLY);
+      got_direct = 0;
+    }
     if (fd < 0) {
       for (int f : L->fds) close(f);
       delete L;
       return nullptr;
     }
     L->fds.push_back(fd);
+    L->fd_odirect.push_back(got_direct);
     L->n_samples.push_back(n_samples[i]);
     L->data_offsets.push_back(data_offsets[i]);
   }
@@ -154,8 +201,8 @@ int loader_read_batch(void* handle, const int* file_idx, const int64_t* sample_i
     L->pool->submit([L, b, file_idx, sample_idx, out, &remaining, &error, &mu, &cv] {
       int fi = file_idx[b];
       int64_t off = total_offset(L, fi, sample_idx[b]);
-      if (pread_full(L->fds[fi], out + (int64_t)b * L->sample_bytes,
-                     L->sample_bytes, off) != 0) {
+      if (loader_pread(L, fi, out + (int64_t)b * L->sample_bytes,
+                       L->sample_bytes, off) != 0) {
         error.store(1);
       }
       if (remaining.fetch_sub(1) == 1) {
@@ -175,7 +222,7 @@ int loader_read_window(void* handle, int file_idx, int64_t sample_start,
                        int64_t n_window, char* out) {
   Loader* L = static_cast<Loader*>(handle);
   int64_t off = total_offset(L, file_idx, sample_start);
-  return pread_full(L->fds[file_idx], out, n_window * L->sample_bytes, off);
+  return loader_pread(L, file_idx, out, n_window * L->sample_bytes, off);
 }
 
 // Read a channel/spatial subwindow of a window of samples: for each of
@@ -222,7 +269,18 @@ int loader_read_subwindow_norm(void* handle, int file_idx, int64_t sample_start,
         char* dst = out + (s * n_chan + c) * out_chan_bytes;
         int rc = 0;
         if (ny == W && y0 == 0) {
-          rc = pread_full(L->fds[file_idx], dst, nx * row_bytes, base);
+          rc = loader_pread(L, file_idx, dst, nx * row_bytes, base);
+        } else if (L->fd_odirect[file_idx]) {
+          // strided rows under O_DIRECT: one aligned read covering the
+          // whole row band beats per-row bounce buffers
+          int64_t band = nx * row_bytes;
+          std::vector<char> tmp(band);
+          rc = loader_pread(L, file_idx, tmp.data(), band, base - y0 * item);
+          if (rc == 0) {
+            for (int64_t r = 0; r < nx; ++r)
+              memcpy(dst + r * ny * item, tmp.data() + r * row_bytes + y0 * item,
+                     ny * item);
+          }
         } else {
           for (int64_t r = 0; r < nx && rc == 0; ++r) {
             rc = pread_full(L->fds[file_idx], dst + r * ny * item, ny * item,
@@ -257,6 +315,16 @@ int loader_read_subwindow(void* handle, int file_idx, int64_t sample_start,
   return loader_read_subwindow_norm(handle, file_idx, sample_start, n_window,
                                     chans, n_chan, H, W, x0, nx, y0, ny,
                                     nullptr, nullptr, out);
+}
+
+// 1 if every file is actually being read with O_DIRECT (open with the flag
+// succeeded), else 0 — lets callers/tests detect silent buffered fallback.
+int loader_odirect_active(void* handle) {
+  Loader* L = static_cast<Loader*>(handle);
+  if (L->fds.empty()) return 0;
+  for (char d : L->fd_odirect)
+    if (!d) return 0;
+  return 1;
 }
 
 }  // extern "C"

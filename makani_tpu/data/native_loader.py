@@ -80,6 +80,8 @@ def get_lib():
             ctypes.c_int64, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
             ctypes.c_char_p]
+        lib.loader_odirect_active.restype = ctypes.c_int
+        lib.loader_odirect_active.argtypes = [ctypes.c_void_p]
         _LIB = lib
     return _LIB
 
@@ -146,6 +148,9 @@ class NativeReader:
         if not self._handle:
             raise IOError(f"native loader failed to open {self.paths}")
         self._lib = lib
+        # True only when every file actually opened with O_DIRECT (the C
+        # side falls back to buffered IO per-file if the fs rejects it)
+        self.odirect_active = bool(lib.loader_odirect_active(self._handle))
 
     def read_batch(self, file_indices, sample_indices):
         n = len(file_indices)

@@ -1,9 +1,14 @@
-"""Training-convergence evidence for the 'mixed' AMP default: run the same
-small SFNO training job on-chip at transform_precision high vs mixed
-(fresh process per mode — precision globals are trace-cached) and compare
-loss trajectories.
+"""Training-convergence evidence for the transform-precision AMP default:
+run the same small SFNO training job on-chip for each requested
+transform-precision mode (fresh process per mode — precision globals are
+trace-cached) and compare (a) loss trajectories and (b) a short-rollout
+anomaly-correlation score on a held-out initial condition.
 
-Run: PYTHONPATH=/root/.axon_site:/root/repo python scripts/convergence_probe.py
+Round-3 verdict item: 'mixed' (3-pass bf16 on transforms, 1-pass elsewhere)
+was qualified vs 'high'; the ~18%-faster 'default' (1-pass bf16 everywhere)
+point was unqualified. This probe runs high/mixed/default/mixed2 in one go.
+
+Run: PYTHONPATH=/root/.axon_site:/root/repo python scripts/convergence_probe.py [modes...]
 """
 
 import json
@@ -52,29 +57,54 @@ for it in range(60):
     i = it % 16
     params, opt_state, loss = jstep(params, opt_state, xs_d[i:i+1], ys_d[i:i+1])
     losses.append(float(loss))
-print("LOSSES", json.dumps(losses))
+print("LOSSES", json.dumps(losses), flush=True)
+
+# short-rollout anomaly correlation on a held-out IC: truth = the noise-free
+# synthetic map iterated; model rolled out autoregressively from the same IC
+x0 = rng.randn(1, 8, 121, 240).astype(np.float32)
+fwd = jax.jit(lambda p, v: m.apply({"params": p}, v.astype(jnp.bfloat16)).astype(jnp.float32))
+truth = x0.copy()
+state = jnp.asarray(x0)
+accs = []
+for s in range(5):
+    truth = np.roll(truth, 3, axis=-1) * 0.9
+    state = fwd(params, state)
+    g = np.asarray(state).ravel(); t = truth.ravel()
+    ga = g - g.mean(); ta = t - t.mean()
+    accs.append(float((ga * ta).sum() / np.sqrt((ga**2).sum() * (ta**2).sum())))
+print("ACCS", json.dumps(accs), flush=True)
 '''
 
 
 def main():
+    modes = sys.argv[1:] or ["high", "mixed", "default", "mixed2"]
     env = dict(os.environ)
     env["PYTHONPATH"] = "/root/.axon_site:/root/repo"
-    curves = {}
-    for mode in ("high", "mixed"):
+    curves, accs = {}, {}
+    for mode in modes:
         r = subprocess.run([sys.executable, "-c", SCRIPT, mode],
                            env=env, capture_output=True, text=True, timeout=1700)
         for line in r.stdout.splitlines():
             if line.startswith("LOSSES"):
                 curves[mode] = json.loads(line.split(" ", 1)[1])
+            if line.startswith("ACCS"):
+                accs[mode] = json.loads(line.split(" ", 1)[1])
         if mode not in curves:
             print(f"{mode} FAILED:", r.stderr[-400:])
             return
+        import numpy as np
+        c = np.array(curves[mode])
+        print(f"{mode:8s}: first {c[0]:.4f}  last5 mean {c[-5:].mean():.4f}  "
+              f"rollout ACC {['%.4f' % a for a in accs.get(mode, [])]}", flush=True)
+
     import numpy as np
-    h, x = np.array(curves["high"]), np.array(curves["mixed"])
-    print(f"high : first {h[0]:.4f}  last5 mean {h[-5:].mean():.4f}")
-    print(f"mixed: first {x[0]:.4f}  last5 mean {x[-5:].mean():.4f}")
-    print(f"final-loss ratio mixed/high: {x[-5:].mean()/h[-5:].mean():.4f}")
-    print(f"curve max abs rel diff: {np.abs(x-h).max()/np.abs(h).max():.3e}")
+    ref = np.array(curves[modes[0]])
+    print(f"\nvs {modes[0]}:")
+    for mode in modes[1:]:
+        c = np.array(curves[mode])
+        print(f"  {mode:8s}: final-loss ratio {c[-5:].mean()/ref[-5:].mean():.4f}  "
+              f"curve max abs rel diff {np.abs(c-ref).max()/np.abs(ref).max():.3e}  "
+              f"ACC delta {np.array(accs[mode]) - np.array(accs[modes[0]])}")
 
 
 if __name__ == "__main__":

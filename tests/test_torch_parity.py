@@ -7,10 +7,10 @@ PrecipNet, AFNO v2, and the serial ViT path — everything that does not
 require torch_harmonics), copies the torch weights into the makani_tpu flax
 models, and asserts forward outputs allclose in f32.
 
-The SFNO family cannot be loaded (reference delegates its SHT to
-torch_harmonics, absent here); its conventions are pinned instead by the
-scipy-analytic SHT tests (tests/test_sht.py) and the committed golden
-fixtures (tests/test_golden.py).
+The SFNO family (reference delegates its SHT to torch_harmonics, absent
+here) is covered by tests/test_torch_rollout_parity.py, which rebuilds the
+torch_harmonics transform surface from an independent float64 scipy
+construction (tests/th_shim.py) and runs the reference SFNO end-to-end.
 
 Reference modules are executed for their numerics only; nothing is copied.
 Skipped wholesale when torch is unavailable.

@@ -137,5 +137,63 @@ class TestZenithAlignment(unittest.TestCase):
             np.testing.assert_allclose(zen_tar[:, 0], expected_tar, rtol=1e-5, atol=1e-6)
 
 
+class TestZarrConvert(unittest.TestCase):
+    """tools/zarr_convert.py streaming converter (ref:
+    data_process/zarr_convert.py), exercised under a writeable zarr stub
+    since the real package is absent in this deployment."""
+
+    def test_convert_roundtrip(self):
+        import json
+
+        stub = types.ModuleType("zarr")
+
+        class _Array:
+            def __init__(self, path, shape, dtype, chunks):
+                self._mm = np.lib.format.open_memmap(
+                    path, mode="w+", dtype=dtype, shape=shape)
+                self.attrs = {}
+
+            def __setitem__(self, k, v):
+                self._mm[k] = v
+
+            def __getitem__(self, k):
+                return self._mm[k]
+
+        class _Group:
+            def __init__(self, path):
+                self.path = path
+
+            def create_array(self, name, shape=None, dtype=None, chunks=None):
+                return _Array(os.path.join(self.path, name + ".npy"),
+                              shape, dtype, chunks)
+
+        def open_group(path, mode="w"):
+            os.makedirs(path, exist_ok=True)
+            return _Group(path)
+
+        stub.open_group = open_group
+        sys.modules["zarr"] = stub
+        try:
+            from makani_tpu.tools.zarr_convert import convert_file
+
+            with tempfile.TemporaryDirectory() as tmp:
+                params = get_default_parameters()
+                params = init_dataset(tmp, params, n_samples_per_year=6, n_years=1)
+                src = sorted(os.listdir(params.train_data_path))[0]
+                src_path = os.path.join(params.train_data_path, src)
+                dst = os.path.join(tmp, src[:-3] + ".zarr")
+                metadata = {"coords": {"channel": list(params.channel_names),
+                                       "grid_type": "equiangular"}}
+                convert_file(src_path, dst, params.h5_path,
+                             metadata=metadata, time_chunk=2)
+
+                with h5py.File(src_path, "r") as f:
+                    want = f[params.h5_path][...]
+                got = np.load(os.path.join(dst, params.h5_path + ".npy"))
+                np.testing.assert_array_equal(got, want)
+        finally:
+            sys.modules.pop("zarr", None)
+
+
 if __name__ == "__main__":
     unittest.main()
