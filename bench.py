@@ -250,9 +250,10 @@ def main():
         from makani_tpu.ops.sht import set_table_mode
         set_table_mode(tm)
     # transform precision: default mirrors the Trainer's bf16-AMP policy
-    # ("mixed" — grid DFTs 1-pass, coefficient math HIGH; the reference's own
-    # default is TF32-under-AMP). Override with BENCH_PRECISION=high etc.
-    bp = os.environ.get("BENCH_PRECISION") or "mixed"
+    # ("default" — 1-pass bf16 dots; qualified convergence-neutral by the
+    # round-4 on-chip A/B, see BENCH_NOTES; the reference's own default is
+    # TF32-under-AMP). Override with BENCH_PRECISION=mixed/high etc.
+    bp = os.environ.get("BENCH_PRECISION") or "default"
     from makani_tpu.ops.sht import set_transform_precision
     from makani_tpu.ops.complex_ops import set_contraction_precision
     set_transform_precision(bp)

@@ -114,16 +114,21 @@ class Trainer:
             # fp16 maps to bf16 on TPU (native, no grad scaler needed)
             self.amp_dtype = jnp.bfloat16
 
-        # spectral matmul precision. Default under bf16 AMP is "mixed"
-        # (grid-side DFTs 1-pass, coefficient math HIGH): on-chip the
-        # model-level deviation from f32 is ~1.5e-2 for high and mixed alike
-        # (the AMP activation rounding dominates; high buys a 3% reduction
-        # for 13% throughput), matching the reference's own TF32-under-AMP
-        # default (ref: makani/train.py:109-110). Without AMP the default is
-        # "high" (~16-bit operands, tighter than TF32); "highest" = strict f32.
+        # spectral matmul precision. Default under bf16 AMP is "default"
+        # (1-pass bf16 dots everywhere): the round-4 on-chip training A/B
+        # (scripts/convergence_probe.py, BENCH_NOTES round 4) measured it
+        # convergence-neutral vs "high"/"mixed" (final-loss ratio 1.0003,
+        # loss-curve max rel diff 6e-4, rollout-ACC deltas at noise level —
+        # the AMP activation rounding dominates all three modes' deviation
+        # from f32, model-level ~1.5e-2) while being 18% faster at the
+        # flagship (4.07 vs 3.45 steps/s). This parallels the reference's
+        # own TF32-under-AMP default (ref: makani/train.py:109-110).
+        # Without AMP the default stays "high" (~16-bit operands, tighter
+        # than TF32); "highest" = strict f32; set transform_precision to
+        # override either way.
         tp = params.get("transform_precision", None)
         if tp is None:
-            tp = "mixed" if self.amp_dtype is not None else "high"
+            tp = "default" if self.amp_dtype is not None else "high"
         from makani_tpu.ops.sht import set_transform_precision
         from makani_tpu.ops.complex_ops import set_contraction_precision
         set_transform_precision(tp)

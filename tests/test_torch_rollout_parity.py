@@ -44,6 +44,17 @@ pytestmark = pytest.mark.skipif(
     not os.path.isdir(REF_ROOT), reason="reference checkout not present")
 
 
+@pytest.fixture(autouse=True)
+def serial_mesh():
+    """Comparisons are serial-vs-serial; don't inherit a mesh left active by
+    an earlier test module."""
+    from makani_tpu.parallel import comm
+    comm.reset()
+    comm.init(devices=jax.devices()[:1])
+    yield
+    comm.reset()
+
+
 def _load(modname, relpath):
     spec = importlib.util.spec_from_file_location(
         modname, os.path.join(REF_ROOT, relpath))
