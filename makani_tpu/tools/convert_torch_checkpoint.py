@@ -64,6 +64,17 @@ def map_reference_state_dict(state_dict, encoder_layers=1):
             leaf = "weight" if m.group(2) == "weight" else "bias_const"
             out[f"model/blocks_{m.group(1)}/SpectralFilterLayer_0/filter/{leaf}"] = _to_pair(val)
             continue
+        # SpectralAttention (filter_type="non-linear"): w ParameterList,
+        # wout, optional b ParameterList (ref: spectral_convolution.py:317-330)
+        m = re.match(r"model\.blocks\.(\d+)\.filter\.filter\.(w|b)\.(\d+)$", key)
+        if m:
+            out[f"model/blocks_{m.group(1)}/SpectralFilterLayer_0/filter/"
+                f"{m.group(2)}_{m.group(3)}"] = _to_pair(val)
+            continue
+        m = re.match(r"model\.blocks\.(\d+)\.filter\.filter\.wout$", key)
+        if m:
+            out[f"model/blocks_{m.group(1)}/SpectralFilterLayer_0/filter/wout"] = _to_pair(val)
+            continue
         m = re.match(r"model\.blocks\.(\d+)\.(norm0|norm1)\.(weight|bias)$", key)
         if m:
             out[f"model/blocks_{m.group(1)}/{m.group(2)}/{m.group(3)}"] = np.asarray(val, np.float32)
@@ -79,6 +90,14 @@ def map_reference_state_dict(state_dict, encoder_layers=1):
             continue
         if key == "model.pos_embed":
             out["model/pos_embed"] = np.asarray(val, np.float32)
+            continue
+        # frequency pos-embed: reference stores a ParameterList [rcoeffs,
+        # ccoeffs] (sfnonet.py:487-493) -> pos_embed_r / pos_embed_c
+        if key == "model.pos_embed.0":
+            out["model/pos_embed_r"] = np.asarray(val, np.float32)
+            continue
+        if key == "model.pos_embed.1":
+            out["model/pos_embed_c"] = np.asarray(val, np.float32)
             continue
         if key == "model.residual_transform.weight":
             out["model/residual_transform"] = _squeeze_conv(val)
