@@ -238,6 +238,8 @@ def main():
         return bench_loader_gate()
     if os.environ.get("BENCH_MODE", "train") == "afno":
         return bench_afno()
+    if os.environ.get("BENCH_MODE", "train") == "vit":
+        return bench_vit()
     if os.environ.get("BENCH_MODE", "train") == "hbm":
         return bench_hbm()
     if os.environ.get("BENCH_MODE", "train") == "rollout":
@@ -398,6 +400,63 @@ def bench_rollout():
     print(json.dumps({
         "metric": f"SFNO-{chans}ch {nlat}x{nlon} edim{embed} L{layers} bf16 "
                   "autoregressive rollout",
+        "value": round(n_iters / dt, 4),
+        "unit": "steps/sec/chip",
+        "vs_baseline": 1.0,
+    }))
+
+
+def bench_vit():
+    """ViT training throughput (the reference's ViT family at a
+    FourCastNet-style staging: 20ch, 720x1440, patch 8x8) — completes the
+    model-zoo perf story alongside SFNO and AFNO."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from makani_tpu.models.networks.vit import VisionTransformer
+
+    nlat = int(os.environ.get("BENCH_NLAT", 720))
+    nlon = int(os.environ.get("BENCH_NLON", 1440))
+    chans = int(os.environ.get("BENCH_CHANS", 20))
+    embed = int(os.environ.get("BENCH_EMBED", 768))
+    layers = int(os.environ.get("BENCH_LAYERS", 12))
+    n_iters = int(os.environ.get("BENCH_ITERS", 10))
+
+    model = VisionTransformer(
+        inp_shape=(nlat, nlon), patch_size=(8, 8), inp_chans=chans,
+        out_chans=chans, embed_dim=embed, depth=layers, num_heads=8)
+
+    tx = optax.adam(1e-3)
+
+    def train_step(params, opt_state, x, y):
+        def loss_fn(p):
+            pred = model.apply({"params": p}, x).astype(jnp.float32)
+            return jnp.mean((pred - y) ** 2)
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(1, chans, nlat, nlon).astype(np.float32)).astype(jnp.bfloat16)
+    y = jnp.asarray(rng.randn(1, chans, nlat, nlon).astype(np.float32))
+
+    params = jax.jit(lambda k: model.init(k, x)["params"])(jax.random.PRNGKey(0))
+    opt_state = jax.jit(tx.init)(params)
+    step = jax.jit(train_step, donate_argnums=(0, 1))
+
+    t_c = time.perf_counter()
+    params, opt_state, loss = step(params, opt_state, x, y)
+    float(loss)
+    print(f"# vit step compiled+ran in {time.perf_counter()-t_c:.1f}s", file=sys.stderr, flush=True)
+
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        params, opt_state, loss = step(params, opt_state, x, y)
+    float(loss)
+    dt = time.perf_counter() - t0
+
+    print(json.dumps({
+        "metric": f"ViT-{chans}ch {nlat}x{nlon} edim{embed} L{layers} bf16 train throughput",
         "value": round(n_iters / dt, 4),
         "unit": "steps/sec/chip",
         "vs_baseline": 1.0,
