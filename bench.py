@@ -358,6 +358,7 @@ def bench_rollout():
     embed = int(os.environ.get("BENCH_EMBED", 384))
     layers = int(os.environ.get("BENCH_LAYERS", 8))
     n_iters = int(os.environ.get("BENCH_ITERS", 20))
+    batch = int(os.environ.get("BENCH_BATCH", 1))  # ensemble serving
 
     model = SphericalFourierNeuralOperatorNet(
         inp_shape=(nlat, nlon), out_shape=(nlat, nlon), scale_factor=3,
@@ -367,7 +368,7 @@ def bench_rollout():
         hard_thresholding_fraction=1.0, big_skip=True, checkpointing=0)
 
     rng = np.random.RandomState(0)
-    x = jnp.asarray(rng.randn(1, chans, nlat, nlon).astype(np.float32)).astype(jnp.bfloat16)
+    x = jnp.asarray(rng.randn(batch, chans, nlat, nlon).astype(np.float32)).astype(jnp.bfloat16)
 
     params = jax.jit(lambda k, v: model.init(k, v))(jax.random.PRNGKey(0), x)
 
@@ -397,11 +398,12 @@ def bench_rollout():
     np.asarray(jax.device_get(xs[0, 0, 0, :2]))
     dt = time.perf_counter() - t0
 
+    tag = f" batch{batch}" if batch > 1 else ""
     print(json.dumps({
         "metric": f"SFNO-{chans}ch {nlat}x{nlon} edim{embed} L{layers} bf16 "
-                  "autoregressive rollout",
-        "value": round(n_iters / dt, 4),
-        "unit": "steps/sec/chip",
+                  f"autoregressive rollout{tag}",
+        "value": round(batch * n_iters / dt, 4),
+        "unit": "member-steps/sec/chip",
         "vs_baseline": 1.0,
     }))
 
