@@ -142,8 +142,18 @@ def shard_tree(tree, shardings):
     Unlike jax.device_put, jit out_shardings accept UNEVENLY divisible dims
     (GSPMD pads internally) — required for e.g. 73 data channels over fin=2
     at the encoder boundary of the flagship config. No donation: aliasing
-    across a resharding changes per-device buffer sizes and is rejected."""
-    return jax.jit(lambda t: t, out_shardings=shardings)(tree)
+    across a resharding changes per-device buffer sizes and is rejected.
+
+    Inputs COMMITTED to a device set that differs from the target mesh
+    (e.g. orbax-restored arrays pinned to one device) are rejected by jit;
+    round-trip those through host numpy (uncommitted) and retry."""
+    import numpy as np
+
+    try:
+        return jax.jit(lambda t: t, out_shardings=shardings)(tree)
+    except ValueError:
+        host = jax.tree.map(np.asarray, tree)
+        return jax.jit(lambda t: t, out_shardings=shardings)(host)
 
 
 def get_opt_state_shardings(opt_state, params, mesh=None):

@@ -75,6 +75,15 @@ class Inferencer(Trainer):
         self.model_params, _, _ = ckpt_lib.restore_checkpoint(
             params.checkpoint_path, self.model_params, None)
 
+        # place the restored params on the full mesh (sharded over model
+        # axes per the rules, replicated under pure data parallelism —
+        # same placement step as the Trainer)
+        if comm.get_world_size() > 1:
+            from makani_tpu.parallel.partitioning import (
+                get_param_shardings, shard_tree)
+            self.model_params = shard_tree(
+                self.model_params, get_param_shardings(self.model_params, self.mesh))
+
         mult, clim = self._get_time_stats()
         self.metrics = MetricsHandler(params, mult, clim)
         self.loss_obj = LossHandler(params)

@@ -186,8 +186,11 @@ class Trainer:
 
         # shard parameters + optimizer state over the model-parallel axes
         # (replaces the reference's is_shared_mp/sharded_dims_mp protocol +
-        # gradient hooks, ref: makani/mpu/mappings.py:30-174)
-        if comm.get_size("model") > 1:
+        # gradient hooks, ref: makani/mpu/mappings.py:30-174). Any
+        # multi-device mesh needs the placement — under PURE data
+        # parallelism the rules resolve to replication, but the params must
+        # still live on the full mesh or jit rejects the mixed-device args.
+        if comm.get_world_size() > 1:
             from makani_tpu.parallel.partitioning import (
                 get_opt_state_shardings, get_param_shardings, shard_tree)
             pshard = get_param_shardings(self.model_params, self.mesh)

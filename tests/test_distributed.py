@@ -531,3 +531,100 @@ def test_scan_layers_matches_unrolled_structure():
     y_scan = np.asarray(jax.jit(lambda v, a: scan_model.apply(v, a))(sv, jnp.asarray(x)))
     y_loop = np.asarray(jax.jit(lambda v, a: loop_model.apply(v, a))(lv, jnp.asarray(x)))
     np.testing.assert_allclose(y_scan, y_loop, rtol=1e-5, atol=1e-6)
+
+
+def test_inferencer_validation_loss_data_parallel_invariant(tmp_path):
+    """Round-4 defect fix (b): the Inferencer divides its per-batch loss sum
+    by data_size (matching Trainer's eval step), so the reported validation
+    loss is invariant to the data-parallel layout: serial (2 batches of 1)
+    and data=2 (1 global batch of 2) over the same samples must agree."""
+    import sys
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    from testutils import get_default_parameters, init_dataset
+    from makani_tpu.utils.trainer import Trainer
+    from makani_tpu.utils.inferencer import Inferencer
+
+    def make_params():
+        params = get_default_parameters()
+        params.nettype = "SFNO"
+        params.update_params({
+            "embed_dim": 16, "num_layers": 2, "scale_factor": 2,
+            "use_mlp": True, "mlp_ratio": 2.0, "activation_function": "gelu",
+            "pos_embed": "none", "operator_type": "dhconv",
+            "filter_type": "linear", "normalization_layer": "instance_norm",
+            "loss": "geometric l2", "lr": 1e-4, "batch_size": 1,
+            "max_epochs": 1, "n_train_samples_per_epoch": 2,
+            "n_eval_samples": 2, "valid_autoreg_steps": 1,
+            "scheduler": "none", "optimizer_type": "Adam",
+            "save_checkpoint": "flexible", "print_timings_frequency": -1,
+        })
+        params = init_dataset(str(tmp_path), params, n_samples_per_year=12, n_years=1)
+        params["experiment_dir"] = str(tmp_path / "exp")
+        import os
+        os.makedirs(params["experiment_dir"], exist_ok=True)
+        params["checkpoint_path"] = str(tmp_path / "exp" / "ckpt")
+        params["best_checkpoint_path"] = str(tmp_path / "exp" / "best_ckpt")
+        return params
+
+    comm.reset()
+    comm.init(devices=jax.devices()[:1])
+    params = make_params()
+    Trainer(params, world_rank=0).train()
+
+    inf_serial = Inferencer(make_params(), world_rank=0)
+    logs_serial = inf_serial.inference_epoch(output_channels=list(params.out_channels))
+    loss_serial = logs_serial["base"]["validation loss"]
+    comm.reset()
+
+    comm.init(model_parallel_sizes=[1, 1, 1, 1], devices=jax.devices()[:2])
+    try:
+        assert comm.get_size("data") == 2
+        params2 = make_params()
+        # batch_size is per data shard: local 1 -> one global batch of 2
+        inf_dp = Inferencer(params2, world_rank=0)
+        logs_dp = inf_dp.inference_epoch(output_channels=list(params2.out_channels))
+        loss_dp = logs_dp["base"]["validation loss"]
+    finally:
+        comm.reset()
+
+    np.testing.assert_allclose(loss_dp, loss_serial, rtol=1e-4)
+
+
+def test_pure_data_parallel_trainer(tmp_path):
+    """Pure data parallelism (data=2, all model axes 1): previously the
+    Trainer only placed params on the mesh when model>1, so a pure-DP
+    multi-device run failed with mixed-device jit args. Now params
+    replicate onto the full mesh and training runs."""
+    import sys
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    from testutils import get_default_parameters, init_dataset
+    from makani_tpu.utils.trainer import Trainer
+
+    comm.reset()
+    comm.init(model_parallel_sizes=[1, 1, 1, 1], devices=jax.devices()[:2])
+    try:
+        assert comm.get_size("data") == 2 and comm.get_size("model") == 1
+        params = get_default_parameters()
+        params.nettype = "SFNO"
+        params.update_params({
+            "embed_dim": 16, "num_layers": 2, "scale_factor": 2,
+            "use_mlp": True, "mlp_ratio": 2.0, "activation_function": "gelu",
+            "pos_embed": "none", "operator_type": "dhconv",
+            "filter_type": "linear", "normalization_layer": "instance_norm",
+            "loss": "geometric l2", "lr": 1e-4, "batch_size": 1,
+            "max_epochs": 1, "n_train_samples_per_epoch": 4,
+            "n_eval_samples": 2, "valid_autoreg_steps": 1,
+            "scheduler": "none", "optimizer_type": "Adam",
+            "save_checkpoint": "none", "enable_synthetic_data": True,
+        })
+        params = init_dataset(str(tmp_path), params, n_samples_per_year=8, n_years=1)
+        params["experiment_dir"] = str(tmp_path / "exp")
+        params["checkpoint_path"] = str(tmp_path / "exp" / "ckpt")
+        params["best_checkpoint_path"] = str(tmp_path / "exp" / "best_ckpt")
+
+        trainer = Trainer(params, world_rank=0)
+        assert trainer.data_parallel_size == 2
+        trainer.train()
+        assert np.isfinite(trainer.metrics.logs["base"]["validation loss"])
+    finally:
+        comm.reset()
