@@ -102,36 +102,64 @@ int pread_full(int fd, char* buf, int64_t count, int64_t offset) {
   return 0;
 }
 
+// Grow-only per-thread scratch buffers. The thread-pool hot path would
+// otherwise pay a posix_memalign/free (or vector) pair PER READ; reuse keeps
+// allocation off the IO path entirely after warmup. Two slots because the
+// strided-row O_DIRECT path stages a row band (slot 1) while the nested
+// direct pread uses the bounce buffer (slot 0) — both live in one task.
+char* tls_scratch(int slot, int64_t n, int64_t align) {
+  static thread_local char* bufs[2] = {nullptr, nullptr};
+  static thread_local int64_t caps[2] = {0, 0};
+  if (n > caps[slot]) {
+    free(bufs[slot]);
+    void* p = nullptr;
+    if (posix_memalign(&p, (size_t)align, (size_t)n) != 0) {
+      bufs[slot] = nullptr;
+      caps[slot] = 0;
+      return nullptr;
+    }
+    bufs[slot] = static_cast<char*>(p);
+    caps[slot] = n;
+  }
+  return bufs[slot];
+}
+
 // O_DIRECT requires block-aligned offset/length/buffer; sample windows are
-// none of those, so read the enclosing aligned range into a posix_memalign
+// none of those, so read the enclosing aligned range into a reused aligned
 // bounce buffer and copy out the slice (the reference instead pre-aligns the
 // FILES via h5_align + DALI's aligned reads; a bounce buffer serves arbitrary
 // layouts at the cost of one memcpy; tools/h5_align.py still minimizes the
-// over-read by aligning sample boundaries).
+// over-read by aligning sample boundaries). Large reads go through the
+// buffer in fixed 16 MB chunks: bounded scratch regardless of read size
+// (a multi-sample window would otherwise transiently double its memory),
+// and each chunk is a single large sequential direct pread.
 int pread_full_direct(int fd, char* buf, int64_t count, int64_t offset) {
   const int64_t A = 4096;
-  int64_t astart = offset & ~(A - 1);
-  int64_t aend = (offset + count + A - 1) & ~(A - 1);
-  int64_t alen = aend - astart;
-  void* tmp = nullptr;
-  if (posix_memalign(&tmp, A, (size_t)alen) != 0) return -1;
+  const int64_t CHUNK = 16ll << 20;  // A-aligned by construction
+  char* tmp = tls_scratch(0, CHUNK, A);
+  if (tmp == nullptr) return -1;
   int64_t done = 0;
-  while (done < alen) {
-    ssize_t r = pread(fd, static_cast<char*>(tmp) + done, alen - done, astart + done);
-    if (r < 0) {
-      if (errno == EINTR) continue;
-      free(tmp);
-      return -1;
+  while (done < count) {
+    int64_t off = offset + done;
+    int64_t astart = off & ~(A - 1);
+    int64_t lead = off - astart;
+    int64_t want = count - done;
+    if (want > CHUNK - lead) want = CHUNK - lead;
+    int64_t alen = ((lead + want + A - 1) & ~(A - 1));
+    int64_t got = 0;
+    while (got < alen) {
+      ssize_t r = pread(fd, tmp + got, alen - got, astart + got);
+      if (r < 0) {
+        if (errno == EINTR) continue;
+        return -1;
+      }
+      if (r == 0) break;  // EOF inside the trailing partial block is fine
+      got += r;
     }
-    if (r == 0) break;  // EOF inside the trailing partial block is fine
-    done += r;
+    if (got < lead + want) return -1;
+    memcpy(buf + done, tmp + lead, (size_t)want);
+    done += want;
   }
-  if (done < (offset - astart) + count) {
-    free(tmp);
-    return -1;
-  }
-  memcpy(buf, static_cast<char*>(tmp) + (offset - astart), (size_t)count);
-  free(tmp);
   return 0;
 }
 
@@ -272,13 +300,16 @@ int loader_read_subwindow_norm(void* handle, int file_idx, int64_t sample_start,
           rc = loader_pread(L, file_idx, dst, nx * row_bytes, base);
         } else if (L->fd_odirect[file_idx]) {
           // strided rows under O_DIRECT: one aligned read covering the
-          // whole row band beats per-row bounce buffers
+          // whole row band beats per-row bounce buffers; staged in the
+          // per-thread band scratch (slot 1 — slot 0 is the direct-pread
+          // bounce buffer, live at the same time)
           int64_t band = nx * row_bytes;
-          std::vector<char> tmp(band);
-          rc = loader_pread(L, file_idx, tmp.data(), band, base - y0 * item);
+          char* tmp = tls_scratch(1, band, 64);
+          rc = tmp == nullptr ? -1
+                              : loader_pread(L, file_idx, tmp, band, base - y0 * item);
           if (rc == 0) {
             for (int64_t r = 0; r < nx; ++r)
-              memcpy(dst + r * ny * item, tmp.data() + r * row_bytes + y0 * item,
+              memcpy(dst + r * ny * item, tmp + r * row_bytes + y0 * item,
                      ny * item);
           }
         } else {

@@ -151,7 +151,14 @@ def shard_tree(tree, shardings):
 
     try:
         return jax.jit(lambda t: t, out_shardings=shardings)(tree)
-    except ValueError:
+    except ValueError as e:
+        # Only the committed-device mismatch is retryable; a genuine bad-spec
+        # ValueError must propagate as-is (the host round-trip below
+        # materializes the ENTIRE tree — multi-GB for flagship params+Adam
+        # state — and would pay that cost just to re-raise).
+        msg = str(e).lower()
+        if not ("device" in msg or "committed" in msg):
+            raise
         host = jax.tree.map(np.asarray, tree)
         return jax.jit(lambda t: t, out_shardings=shardings)(host)
 

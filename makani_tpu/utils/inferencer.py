@@ -269,6 +269,18 @@ class Inferencer(Trainer):
         eval_samples = 0
         for data in self.valid_dataloader:
             inp, tar, zen_inp, zen_tar = self._device_batch(data)
+            # GLOBAL sample count: rs/rt hold global (all-data-rank) sums, so
+            # the divisor must be global too. _device_batch guarantees a
+            # globally-assembled batch dim in both deployments (single-process
+            # device_put of the full batch; multi-process
+            # make_array_from_process_local_data with gshape[0]=global). Guard
+            # the invariant so a future port that feeds LOCAL shards here
+            # fails loudly instead of silently skewing the exported RMSE.
+            if jax.process_count() > 1:
+                local_b = int(np.asarray(data[0]).shape[0])
+                assert int(inp.shape[0]) == local_b * self.data_parallel_size, (
+                    "inference_epoch expects _device_batch to assemble the "
+                    "GLOBAL batch; got a local shard")
             eval_samples += int(inp.shape[0])
             buffers, rt, rs = self._rollout_metrics(
                 self.model_params, buffers, rt, rs, inp, tar, zen_inp, zen_tar)
