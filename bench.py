@@ -227,6 +227,130 @@ def bench_loader_gate():
         sys.exit(1)
 
 
+def bench_trainer():
+    """Production-path throughput: the SHIPPING Trainer — preprocessor,
+    LossHandler, metrics buffers, auto-layouts, donation through
+    _with_tables, native C++ loader data plane — driven on the chip via
+    train_one_epoch/validate_one_epoch (round-4 verdict #1: every prior
+    on-chip number came from a hand-built twin of the step, not the
+    product). Also exercises the full AR validation rollout and an on-chip
+    checkpoint save+restore.
+
+    Config: BENCH_CONFIG (default flagship_synth_drive_bare — the bench-
+    twin-shaped flagship, so steps/s reconciles against BENCH_MODE=train).
+    The synthetic-AR dataset is generated on first use (BENCH_SAMPLES
+    train samples, default 24 ≈ 7 GB)."""
+    import logging
+
+    import jax
+    from makani_tpu.parallel import comm
+    from makani_tpu.utils.yparams import YParams
+    from makani_tpu.utils.dataset_metadata import parse_dataset_metadata
+
+    logging.basicConfig(level=logging.INFO, stream=sys.stderr)
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    os.chdir(repo)  # config data paths are repo-relative
+
+    cfg_name = os.environ.get("BENCH_CONFIG", "flagship_synth_drive_bare")
+    params = YParams(os.path.join(repo, "config", "sfnonet.yaml"), cfg_name)
+
+    data_root = os.path.join(repo, "datasets", "synthetic_flagship")
+    if "synthetic_flagship" in params["metadata_json_path"] \
+            and not os.path.exists(os.path.join(data_root, "data.json")):
+        n_train = int(os.environ.get("BENCH_SAMPLES", 24))
+        print(f"# generating synthetic flagship AR dataset ({n_train} train "
+              f"samples, ~{n_train * 0.3:.0f} GB)...", file=sys.stderr, flush=True)
+        from makani_tpu.tools.make_synthetic_dataset import make_dataset
+        make_dataset(data_root, img_shape=(721, 1440),
+                     channels=[f"c{i}" for i in range(73)],
+                     n_samples_per_year=n_train, n_valid_samples=24,
+                     mode="ar", fmt="bin", invariants=True)
+
+    comm.reset()
+    comm.init(devices=jax.devices()[:1])
+
+    # the param assembly train.py's CLI performs (makani_tpu/train.py:66-124)
+    params["world_size"] = comm.get_world_size()
+    params["global_batch_size"] = params.batch_size
+    params["amp_mode"] = os.environ.get("BENCH_AMP", "bf16")
+    params["checkpointing"] = int(os.environ.get("BENCH_CKPT", 2))
+    params["multistep_count"] = 1
+    params["n_future"] = 0
+    params["enable_synthetic_data"] = False
+    params["log_to_screen"] = True
+    params["print_timings_frequency"] = int(os.environ.get("BENCH_PRINT_FREQ", -1))
+    exp_dir = os.path.join(repo, "runs", f"bench_trainer_{cfg_name}")
+    os.makedirs(os.path.join(exp_dir, "training_checkpoints"), exist_ok=True)
+    params["experiment_dir"] = exp_dir
+    params["checkpoint_path"] = os.path.join(exp_dir, "training_checkpoints", "ckpt")
+    params["best_checkpoint_path"] = os.path.join(exp_dir, "training_checkpoints", "best_ckpt")
+    params["resuming"] = False
+    params, _ = parse_dataset_metadata(params["metadata_json_path"], params=params)
+
+    from makani_tpu.utils.trainer import Trainer
+
+    t0 = time.perf_counter()
+    trainer = Trainer(params, world_rank=0)
+    print(f"# Trainer constructed (init compiled) in {time.perf_counter()-t0:.1f}s",
+          file=sys.stderr, flush=True)
+
+    # epoch 1: train-step compile + warmup; epoch 2: the measured number
+    t0 = time.perf_counter()
+    t1, _, logs1 = trainer.train_one_epoch()
+    print(f"# epoch 1 (compile+run): {logs1['train_steps']} steps in "
+          f"{t1:.1f}s, loss {logs1['loss']:.4f}", file=sys.stderr, flush=True)
+    t2, _, logs2 = trainer.train_one_epoch()
+    steps_per_sec = logs2["train_steps"] / t2
+    print(f"# epoch 2 (measured): {logs2['train_steps']} steps in {t2:.1f}s "
+          f"= {steps_per_sec:.3f} steps/s, loss {logs2['loss']:.4f}, "
+          f"loader-wait {100 * trainer._last_data_wait_frac:.0f}%",
+          file=sys.stderr, flush=True)
+
+    # full AR validation (valid_autoreg_steps rollout through _eval_ar_step)
+    t0 = time.perf_counter()
+    vtime, _, vlogs = trainer.validate_one_epoch(trainer.epoch)
+    vloss = vlogs["base"].get("validation loss")
+    print(f"# AR validation ({params.valid_autoreg_steps + 1}-step rollout): "
+          f"{vtime:.1f}s, valid loss {vloss}", file=sys.stderr, flush=True)
+
+    # on-chip checkpoint save + restore round trip
+    t0 = time.perf_counter()
+    trainer.save_checkpoint(params.checkpoint_path)
+    trainer._ckpt_mgr.wait()
+    t_save = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    trainer.restore_checkpoint(params.checkpoint_path)
+    t_restore = time.perf_counter() - t0
+    print(f"# checkpoint save {t_save:.1f}s / restore {t_restore:.1f}s "
+          f"(epoch counter now {trainer.epoch})", file=sys.stderr, flush=True)
+
+    # one more step after restore proves the restored state is usable
+    t3, _, logs3 = trainer.train_one_epoch()
+    print(f"# post-restore epoch: loss {logs3['loss']:.4f}", file=sys.stderr, flush=True)
+
+    vs = 1.0
+    prev_path = os.path.join(repo, "BENCH_prev.json")
+    if os.path.exists(prev_path):
+        try:
+            with open(prev_path) as f:
+                prev = json.load(f)
+            if prev.get("value") and "edim384" in prev.get("metric", ""):
+                vs = steps_per_sec / float(prev["value"])
+        except Exception:
+            pass
+
+    print(json.dumps({
+        "metric": f"Trainer-path SFNO flagship train throughput ({cfg_name}, "
+                  "shipping Trainer + native loader)",
+        "value": round(steps_per_sec, 4),
+        "unit": "steps/sec/chip",
+        "vs_baseline": round(vs, 4),
+        "final_train_loss": round(logs3["loss"], 5),
+        "valid_loss": None if vloss is None else round(float(vloss), 5),
+    }))
+
+
 def main():
     import jax
 
@@ -236,6 +360,8 @@ def main():
         return bench_loader()
     if os.environ.get("BENCH_MODE", "train") == "loader_gate":
         return bench_loader_gate()
+    if os.environ.get("BENCH_MODE", "train") == "trainer":
+        return bench_trainer()
     if os.environ.get("BENCH_MODE", "train") == "afno":
         return bench_afno()
     if os.environ.get("BENCH_MODE", "train") == "vit":

@@ -621,7 +621,19 @@ class Trainer:
 
         dump_every = int(self.params.log_weights_and_grads or 0)
 
-        for data in self.train_dataloader:
+        # time spent BLOCKED on the loader (prefetch exhausted): the loud
+        # data-plane health signal — per-epoch GB/s alone cannot distinguish
+        # "loader feeds the chip" from "chip waits for the loader"
+        data_wait_ns = 0
+
+        data_iter = iter(self.train_dataloader)
+        while True:
+            t_wait = time.perf_counter_ns()
+            try:
+                data = next(data_iter)
+            except StopIteration:
+                break
+            data_wait_ns += time.perf_counter_ns() - t_wait
             train_steps += 1
             self.iters += 1
 
@@ -663,6 +675,25 @@ class Trainer:
         train_end = time.perf_counter_ns()
         train_time = (train_end - train_start) * 1e-9
         total_data_gb = (total_data_bytes / 1024**3) * float(comm.get_world_size())
+
+        # loud warning when the data plane cannot feed the chip: >15% of the
+        # epoch spent blocked on the loader means steps/s is loader-bound,
+        # not compute-bound (the first epoch also pays compile+worker spinup,
+        # so only warn from epoch 2). num_data_workers is the lever
+        # (flagship gate: BENCH_NOTES round 4).
+        data_wait = data_wait_ns * 1e-9
+        self._last_data_wait_frac = data_wait / max(train_time, 1e-9)
+        if self.epoch > 1 and train_steps > 1 and self._last_data_wait_frac > 0.15:
+            have = total_data_bytes / max(data_wait, 1e-9) / 1e9
+            need = total_data_bytes / max(train_time, 1e-9) / 1e9
+            logger.warning(
+                "DATA-PLANE BOTTLENECK: %.0f%% of epoch %d spent waiting on the "
+                "dataloader (sustains ~%.2f GB/s under load vs ~%.2f GB/s the "
+                "step consumes). Raise num_data_workers (currently %s) or move "
+                "the dataset to faster storage / the native loader.",
+                100 * self._last_data_wait_frac, self.epoch, have, need,
+                self.params.get("num_data_workers"))
+
         return train_time, total_data_gb, logs
 
     def validate_one_epoch(self, epoch):
