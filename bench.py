@@ -701,6 +701,11 @@ def run_train_bench(embed):
     # OOM boundary and the remat (BENCH_CKPT) level that rescues it.
     n_future = int(os.environ.get("BENCH_NFUTURE", 0))
 
+    # BENCH_FUSED=1: the Pallas fused Adam+dither update (ops/pallas_adam)
+    # in place of the optax update/apply chain — bit-equivalent math, one
+    # streaming kernel at the 20 B/element HBM floor
+    fused = bool(int(os.environ.get("BENCH_FUSED", 0)))
+
     def train_step(params, opt_state, x, y):
         def loss_fn(p):
             preds = []
@@ -713,6 +718,15 @@ def run_train_bench(embed):
             return jnp.mean((out - y) ** 2)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
+        if fused:
+            from makani_tpu.ops.pallas_adam import fused_adam_apply
+            # the optax chain applies scale(-lr) after adam; the fused kernel
+            # takes +lr and subtracts internally
+            params, new_adam = fused_adam_apply(
+                params, grads, opt_state[0], 1e-3, b1=0.9, b2=0.999,
+                eps=1e-8, stochastic_rounding=moment_dtype != "float32",
+                seed=1234)
+            return params, (new_adam,) + tuple(opt_state[1:]), loss
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss

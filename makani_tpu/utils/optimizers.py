@@ -119,6 +119,33 @@ def scale_by_adam_lowmem(b1=0.9, b2=0.999, eps=1e-8,
     return optax.GradientTransformation(init_fn, update_fn)
 
 
+def fused_adam_settings(params):
+    """kwargs for ops/pallas_adam.fused_adam_apply when the config's
+    optimizer is expressible as the single fused kernel, else None.
+    Callers must additionally gate on world_size == 1 (a pallas_call cannot
+    be partitioned by GSPMD)."""
+    if not params.get("optimizer_fused", False):
+        return None
+    opt_type = params.get("optimizer_type", "Adam")
+    if opt_type not in ("Adam", "AdamW"):
+        return None
+    if params.get("gradient_clip_norm"):
+        return None  # needs the generic optax chain
+    md = params.get("optimizer_moment_dtype", "float32")
+    if md not in (None, "float32", "fp32", "bfloat16", "bf16"):
+        return None
+    wd = float(params.get("weight_decay", 0.0) or 0.0) if opt_type == "AdamW" else 0.0
+    return dict(
+        b1=params.get("optimizer_beta1", 0.9),
+        b2=params.get("optimizer_beta2", 0.95),
+        eps=1e-8 * (10.0 ** float(params.get("epsilon_factor", 0) or 0)),
+        weight_decay=wd,
+        stochastic_rounding=bool(params.get("optimizer_stochastic_rounding", True))
+        and md in ("bfloat16", "bf16"),
+        seed=params.get("global_seed", 333) + 7,
+    )
+
+
 def build_optimizer(params):
     """Returns an lr-free optax GradientTransformation."""
     tx = []

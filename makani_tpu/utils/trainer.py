@@ -184,6 +184,15 @@ class Trainer:
         self.model_params = variables["params"]
         self.opt_state = jax.jit(self.optimizer.init)(self.model_params)
 
+        # barrier: on fully-async remote backends (axon relay) a later
+        # transfer with NO data dependency (the first training batch) can
+        # race the init forward at its device-memory peak and OOM; fetching
+        # one element forces the init/opt-init programs to completion.
+        # block_until_ready alone does not truly synchronize there.
+        np.asarray(min(jax.tree.leaves(self.model_params), key=lambda l: l.size))
+        np.asarray(min(jax.tree.leaves(self.opt_state),
+                       key=lambda l: getattr(l, "size", 1 << 62)))
+
         # shard parameters + optimizer state over the model-parallel axes
         # (replaces the reference's is_shared_mp/sharded_dims_mp protocol +
         # gradient hooks, ref: makani/mpu/mappings.py:30-174). Any
@@ -327,6 +336,28 @@ class Trainer:
         def augment(inp, tar, zen_inp, zen_tar, rng):
             return augment_batch(inp, tar, zen_inp, zen_tar, rng, do_roll, noise_std)
 
+        # fused Pallas optimizer stage (ops/pallas_adam): one kernel streams
+        # grad+state at the 20 B/element traffic floor, bit-equivalent to the
+        # optax chain below. Single-device only (pallas custom calls cannot
+        # be partitioned); any ineligible config silently keeps the chain.
+        from makani_tpu.utils.optimizers import fused_adam_settings
+        fused_kw = fused_adam_settings(self.params) \
+            if comm.get_world_size() == 1 else None
+        if fused_kw is not None:
+            logger.info("optimizer: fused pallas Adam update (%s)", fused_kw)
+
+        def apply_updates(model_params, opt_state, grads, lr):
+            if fused_kw is not None:
+                from makani_tpu.ops.pallas_adam import fused_adam_apply
+                new_params, new_adam = fused_adam_apply(
+                    model_params, grads, opt_state[0], lr, **fused_kw)
+                return new_params, (new_adam,) + tuple(opt_state[1:])
+            updates, new_opt_state = optimizer.update(grads, opt_state, model_params)
+            new_params = jax.tree.map(
+                lambda p, u: (p - lr * u.astype(p.dtype)) if u is not None else p,
+                model_params, updates)
+            return new_params, new_opt_state
+
         def train_step(model_params, opt_state, inp, tar, zen_inp, zen_tar, lr, rng):
             aug_rng, drop_rng = jax.random.split(rng)
             rng = drop_rng
@@ -348,10 +379,8 @@ class Trainer:
             # match reference gradient semantics: MEAN over data ranks of
             # local batch-sum losses (ref: mpu/mappings.py:104-172)
             grads = jax.tree.map(lambda g: g / data_size, grads)
-            updates, new_opt_state = optimizer.update(grads, opt_state, model_params)
-            new_params = jax.tree.map(
-                lambda p, u: (p - lr * u.astype(p.dtype)) if u is not None else p,
-                model_params, updates)
+            new_params, new_opt_state = apply_updates(
+                model_params, opt_state, grads, lr)
             return new_params, new_opt_state, loss / data_size
 
         def eval_ar_step(model_params, buffers, inpt, uinp, tar, zen_tar, idt):
@@ -534,9 +563,32 @@ class Trainer:
             def put(x):
                 if x is None:
                     return None
-                return jax.device_put(x, sharding)
+                return self._put_with_retry(x, sharding)
 
         return put(inp), put(tar), put(zen_inp), put(zen_tar)
+
+    def _put_with_retry(self, x, sharding):
+        """device_put with RESOURCE_EXHAUSTED retry. Remote-relay backends
+        (axon) release a completed program's scratch and a dead process's
+        allocations LAZILY; a batch transfer dispatched during that window
+        fails transiently even though the steady-state working set fits.
+        Analogous to the loader's h5-read retry: sync to quiesce in-flight
+        programs, back off, retry; a genuine capacity OOM still raises."""
+        for attempt in range(4):
+            try:
+                return jax.device_put(x, sharding)
+            except jax.errors.JaxRuntimeError as e:
+                if "RESOURCE_EXHAUSTED" not in str(e) or attempt == 3:
+                    raise
+                logger.warning(
+                    "batch transfer hit RESOURCE_EXHAUSTED (attempt %d); "
+                    "syncing and retrying", attempt + 1)
+                try:
+                    np.asarray(min(jax.tree.leaves(self.model_params),
+                                   key=lambda l: l.size))
+                except Exception:
+                    pass
+                time.sleep(5.0 * (attempt + 1))
 
     # ------------------------------------------------------------------
     # training loop
