@@ -550,6 +550,12 @@ def bench_vit():
     layers = int(os.environ.get("BENCH_LAYERS", 12))
     n_iters = int(os.environ.get("BENCH_ITERS", 10))
 
+    # attention key-block sweep knob (verdict r4 #7)
+    blk = os.environ.get("BENCH_BLOCK")
+    if blk:
+        from makani_tpu.models.common.attention import set_attention_block_size
+        set_attention_block_size(int(blk))
+
     model = VisionTransformer(
         inp_shape=(nlat, nlon), patch_size=(8, 8), inp_chans=chans,
         out_chans=chans, embed_dim=embed, depth=layers, num_heads=8)
@@ -582,12 +588,31 @@ def bench_vit():
         params, opt_state, loss = step(params, opt_state, x, y)
     float(loss)
     dt = time.perf_counter() - t0
+    steps_per_sec = n_iters / dt
+
+    # analytic matmul-flops accounting (the axon backend cannot always serve
+    # cost_analysis): per layer fwd = 12*N*C^2 dense (qkv 3, proj 1, mlp 8)
+    # + 4*N^2*C attention (qk^T + pv); train ~= 3x fwd. MFU against the
+    # chip's bf16 peak quantifies the attention ceiling (verdict r4 #7).
+    N = (nlat // 8) * (nlon // 8)
+    dense_f = 2.0 * 12 * N * embed * embed * layers
+    attn_f = 4.0 * N * N * embed * layers
+    train_f = 3.0 * (dense_f + attn_f)
+    peak = float(os.environ.get("BENCH_PEAK_TFS", 197)) * 1e12  # v5e bf16
+    mfu = steps_per_sec * train_f / peak
+    print(f"# flops/step ~{train_f/1e12:.2f} TF (attention share "
+          f"{100*3*attn_f/train_f:.0f}%), MFU {100*mfu:.1f}% of {peak/1e12:.0f} TF/s, "
+          f"attention block={os.environ.get('BENCH_BLOCK', 1024)}",
+          file=sys.stderr, flush=True)
 
     print(json.dumps({
-        "metric": f"ViT-{chans}ch {nlat}x{nlon} edim{embed} L{layers} bf16 train throughput",
-        "value": round(n_iters / dt, 4),
+        "metric": f"ViT-{chans}ch {nlat}x{nlon} edim{embed} L{layers} bf16 train "
+                  f"throughput (block{os.environ.get('BENCH_BLOCK', 1024)})",
+        "value": round(steps_per_sec, 4),
         "unit": "steps/sec/chip",
         "vs_baseline": 1.0,
+        "flops_per_step": train_f,
+        "mfu_pct": round(100 * mfu, 2),
     }))
 
 

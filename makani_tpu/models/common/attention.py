@@ -24,7 +24,17 @@ import jax
 import jax.numpy as jnp
 
 
-def scaled_dot_product_attention(q, k, v, scale=None, block_size=1024,
+_DEFAULT_BLOCK_SIZE = 1024
+
+
+def set_attention_block_size(n):
+    """Global default key-block size for the blockwise recurrence (the
+    on-chip tuning knob; swept in BENCH_MODE=vit via BENCH_BLOCK)."""
+    global _DEFAULT_BLOCK_SIZE
+    _DEFAULT_BLOCK_SIZE = int(n)
+
+
+def scaled_dot_product_attention(q, k, v, scale=None, block_size=None,
                                  min_blockwise_tokens=2048):
     """Attention over (B, H, N, D) tensors; returns (B, H, N, D).
 
@@ -35,6 +45,8 @@ def scaled_dot_product_attention(q, k, v, scale=None, block_size=1024,
     B, H, N, D = q.shape
     if scale is None:
         scale = D ** -0.5
+    if block_size is None:
+        block_size = _DEFAULT_BLOCK_SIZE
 
     if N <= min_blockwise_tokens:
         s = jnp.einsum("bhnd,bhmd->bhnm", q, k,
