@@ -247,7 +247,9 @@ def bench_trainer():
     from makani_tpu.utils.yparams import YParams
     from makani_tpu.utils.dataset_metadata import parse_dataset_metadata
 
-    logging.basicConfig(level=logging.INFO, stream=sys.stderr)
+    quiet = bool(int(os.environ.get("BENCH_QUIET", 0)))
+    if not quiet:
+        logging.basicConfig(level=logging.INFO, stream=sys.stderr)
 
     repo = os.path.dirname(os.path.abspath(__file__))
     os.chdir(repo)  # config data paths are repo-relative
@@ -278,7 +280,7 @@ def bench_trainer():
     params["multistep_count"] = 1
     params["n_future"] = 0
     params["enable_synthetic_data"] = False
-    params["log_to_screen"] = True
+    params["log_to_screen"] = not quiet
     params["print_timings_frequency"] = int(os.environ.get("BENCH_PRINT_FREQ", -1))
     exp_dir = os.path.join(repo, "runs", f"bench_trainer_{cfg_name}")
     os.makedirs(os.path.join(exp_dir, "training_checkpoints"), exist_ok=True)

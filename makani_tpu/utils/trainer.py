@@ -521,6 +521,11 @@ class Trainer:
             args = tuple(layouts_lib.reput_tree(a, f) for a, f in zip(args, fmts[:-1]))
             return cache["exec"](*args, tables)
 
+        # introspection hooks for the multichip dryrun's compile gates
+        # (__graft_entry__): the raw jit and the table subset this step feeds
+        call._jitted = jitted
+        call._tables = lambda: {k: self._sht_tables[k]
+                                for k in cache.get("keys", [])}
         return call
 
     def _device_batch(self, data):

@@ -6,7 +6,13 @@ launched too early either OOMs on memory that will be free shortly or
 crawls. Loop a tiny-op latency probe + an N-GB allocation probe until both
 pass, then exit 0 (CLAUDE.md round-5 environment facts).
 
-Usage: python scripts/tpu_ready.py [GB=10] [max_wait_s=900]
+IMPORTANT: keep GB small (default 1). The canary's own allocations join
+the lazy-free backlog the moment it exits — a 12 GB capacity probe run
+right before a big job GUARANTEES the job OOMs (round-5 lesson). For a
+full-chip job: gate on the tiny-op latency only, then wait the settle
+period (~5 min) after ANY TPU process exits before launching.
+
+Usage: python scripts/tpu_ready.py [GB=1] [max_wait_s=900]
 """
 
 import subprocess
@@ -29,7 +35,7 @@ print(f"READY lat={lat:.1f}", flush=True)
 
 
 def main():
-    gb = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    gb = int(sys.argv[1]) if len(sys.argv) > 1 else 1
     max_wait = int(sys.argv[2]) if len(sys.argv) > 2 else 900
     t_start = time.time()
     attempt = 0
