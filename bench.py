@@ -733,6 +733,13 @@ def run_train_bench(embed):
     # streaming kernel at the 20 B/element HBM floor
     fused = bool(int(os.environ.get("BENCH_FUSED", 0)))
 
+    # BENCH_NORM=bf16: one-pass bf16 norm statistics (f32 accumulation only)
+    if os.environ.get("BENCH_NORM"):
+        from makani_tpu.models.common.layers import set_norm_stats_mode
+        set_norm_stats_mode(os.environ["BENCH_NORM"])
+        os.environ["_BENCH_PREC_TAG"] = \
+            os.environ.get("_BENCH_PREC_TAG", "high") + f"/n:{os.environ['BENCH_NORM']}"
+
     def train_step(params, opt_state, x, y):
         def loss_fn(p):
             preds = []

@@ -155,6 +155,22 @@ class PatchEmbed(nn.Module):
         return y
 
 
+# norm statistics compute mode: "f32" materializes an f32 copy of the
+# activation for a two-pass mean/var (exact, the default and reference
+# behavior); "bf16" keeps the elementwise pipeline in the input dtype with
+# f32 ACCUMULATION only (one-pass E[x^2]-E[x]^2) — a traffic lever for the
+# bf16-AMP flagship (round-4 trace: f32 norm intermediates are part of the
+# 2.9x actual-vs-minimum HBM gap). Convergence impact must be A/B'd on chip
+# before shipping as a default (BENCH_NORM=bf16).
+_NORM_STATS = "f32"
+
+
+def set_norm_stats_mode(mode):
+    global _NORM_STATS
+    assert mode in ("f32", "bf16"), mode
+    _NORM_STATS = mode
+
+
 class InstanceNorm2d(nn.Module):
     """Per-sample, per-channel normalization over (H, W), optional affine.
     No running stats (matches torch InstanceNorm2d with track_running_stats=False,
@@ -167,6 +183,21 @@ class InstanceNorm2d(nn.Module):
     @nn.compact
     def __call__(self, x):
         xdtype = x.dtype
+        if _NORM_STATS == "bf16" and xdtype != jnp.float32:
+            # one-pass stats, f32 accumulation over native-dtype elements;
+            # elementwise normalize stays in the input dtype (fuses into
+            # neighbors as a pure bf16 pipeline, no f32 copy materialized)
+            mean = jnp.mean(x, axis=(-2, -1), keepdims=True, dtype=jnp.float32)
+            sq = jnp.mean(x * x, axis=(-2, -1), keepdims=True, dtype=jnp.float32)
+            var = jnp.maximum(sq - jnp.square(mean), 0.0)
+            scale = jax.lax.rsqrt(var + self.eps)
+            y = (x - mean.astype(xdtype)) * scale.astype(xdtype)
+            if self.affine:
+                w = self.param("weight", nn.initializers.ones, (self.num_features,))
+                b = self.param("bias", nn.initializers.zeros, (self.num_features,))
+                y = y * w.astype(xdtype)[None, :, None, None] \
+                    + b.astype(xdtype)[None, :, None, None]
+            return y
         xf = x.astype(jnp.float32)
         mean = jnp.mean(xf, axis=(-2, -1), keepdims=True)
         var = jnp.mean(jnp.square(xf - mean), axis=(-2, -1), keepdims=True)

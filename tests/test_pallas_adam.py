@@ -123,3 +123,25 @@ def test_fused_settings_gating():
     # AdamW carries decoupled weight decay into the kernel
     kww = fused_adam_settings(P(base, optimizer_type="AdamW", weight_decay=0.05))
     assert kww is not None and kww["weight_decay"] == 0.05
+
+
+def test_bf16_norm_stats_close_to_f32():
+    """The bf16-stat InstanceNorm (one-pass, f32 accumulation) must track
+    the exact f32 two-pass norm to bf16 rounding tolerance."""
+    from makani_tpu.models.common.layers import InstanceNorm2d, set_norm_stats_mode
+
+    rng = np.random.RandomState(0)
+    x = (rng.randn(2, 4, 24, 48) * 1.7 + 0.6).astype(np.float32)
+    xb = jnp.asarray(x).astype(jnp.bfloat16)
+    m = InstanceNorm2d(num_features=4)
+    v = jax.jit(m.init)(jax.random.PRNGKey(0), xb)
+    try:
+        set_norm_stats_mode("f32")
+        ref = np.asarray(jax.jit(m.apply)(v, xb), dtype=np.float32)
+        set_norm_stats_mode("bf16")
+        got = np.asarray(jax.jit(m.apply)(v, xb), dtype=np.float32)
+    finally:
+        set_norm_stats_mode("f32")
+    # bf16 elementwise pipeline: ~8-bit mantissa rounding of O(1) values
+    np.testing.assert_allclose(got, ref, atol=0.05, rtol=0.05)
+    assert np.abs(got.mean()) < 0.05 and abs(got.std() - 1.0) < 0.1
