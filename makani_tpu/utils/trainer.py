@@ -168,8 +168,12 @@ class Trainer:
         # single-controller GSPMD design every jitted program sees global
         # logical arrays (img_local_* only governs per-process host IO).
         n_pred_chans = len(params.in_channels)
+        # init traces the full forward; running it under the AMP dtype
+        # halves the init program's transient activation peak at flagship
+        # scale (param VALUES are initializer-drawn, input-independent)
+        init_dtype = self.amp_dtype or jnp.float32
         init_inp = jnp.zeros((1, (params.n_history + 1) * n_pred_chans,
-                              params.img_crop_shape_x, params.img_crop_shape_y), jnp.float32)
+                              params.img_crop_shape_x, params.img_crop_shape_y), init_dtype)
         init_zen = None
         if params.get("add_zenith", False):
             init_zen = jnp.zeros((1, params.n_history + 1, 1,
