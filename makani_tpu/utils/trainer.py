@@ -577,21 +577,34 @@ class Trainer:
         return put(inp), put(tar), put(zen_inp), put(zen_tar)
 
     def _put_with_retry(self, x, sharding):
-        """device_put with RESOURCE_EXHAUSTED retry. Remote-relay backends
-        (axon) release a completed program's scratch and a dead process's
-        allocations LAZILY; a batch transfer dispatched during that window
-        fails transiently even though the steady-state working set fits.
-        Analogous to the loader's h5-read retry: sync to quiesce in-flight
-        programs, back off, retry; a genuine capacity OOM still raises."""
+        """device_put with a RESOURCE_EXHAUSTED fallback ladder for remote-
+        relay backends (axon): (1) the sharded batched_device_put path fails
+        spuriously there while plain transfers succeed — fall back to a
+        plain host->device transfer + a jitted identity that reshards on
+        device; (2) the relay also releases dead clients' allocations
+        LAZILY, so back off and retry before concluding a genuine OOM."""
+        try:
+            return jax.device_put(x, sharding)
+        except jax.errors.JaxRuntimeError as e:
+            if "RESOURCE_EXHAUSTED" not in str(e):
+                raise
+            logger.warning(
+                "sharded batch transfer hit RESOURCE_EXHAUSTED; falling back "
+                "to plain transfer + on-device reshard")
+        if not hasattr(self, "_reshard_fns"):
+            self._reshard_fns = {}
+        key = (x.shape, str(x.dtype), sharding)
+        if key not in self._reshard_fns:
+            self._reshard_fns[key] = jax.jit(lambda t: t, out_shardings=sharding)
         for attempt in range(4):
             try:
-                return jax.device_put(x, sharding)
+                return self._reshard_fns[key](jnp.asarray(x))
             except jax.errors.JaxRuntimeError as e:
                 if "RESOURCE_EXHAUSTED" not in str(e) or attempt == 3:
                     raise
                 logger.warning(
-                    "batch transfer hit RESOURCE_EXHAUSTED (attempt %d); "
-                    "syncing and retrying", attempt + 1)
+                    "plain batch transfer hit RESOURCE_EXHAUSTED (attempt %d);"
+                    " syncing and retrying", attempt + 1)
                 try:
                     np.asarray(min(jax.tree.leaves(self.model_params),
                                    key=lambda l: l.size))
