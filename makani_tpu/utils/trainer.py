@@ -583,34 +583,36 @@ class Trainer:
         plain host->device transfer + a jitted identity that reshards on
         device; (2) the relay also releases dead clients' allocations
         LAZILY, so back off and retry before concluding a genuine OOM."""
-        try:
-            return jax.device_put(x, sharding)
-        except jax.errors.JaxRuntimeError as e:
-            if "RESOURCE_EXHAUSTED" not in str(e):
-                raise
-            logger.warning(
-                "sharded batch transfer hit RESOURCE_EXHAUSTED; falling back "
-                "to plain transfer + on-device reshard")
         if not hasattr(self, "_reshard_fns"):
             self._reshard_fns = {}
         key = (x.shape, str(x.dtype), sharding)
         if key not in self._reshard_fns:
             self._reshard_fns[key] = jax.jit(lambda t: t, out_shardings=sharding)
-        for attempt in range(4):
+
+        # patience ladder: the remote relay's staging for dead clients
+        # drains over MINUTES; a transfer that fails now reliably succeeds
+        # once the backlog clears. Alternate the sharded and plain+reshard
+        # transfer paths, backing off up to ~7 minutes total before
+        # concluding a genuine OOM.
+        n_attempts = 10
+        for attempt in range(n_attempts):
             try:
+                if attempt % 2 == 0:
+                    return jax.device_put(x, sharding)
                 return self._reshard_fns[key](jnp.asarray(x))
             except jax.errors.JaxRuntimeError as e:
-                if "RESOURCE_EXHAUSTED" not in str(e) or attempt == 3:
+                if "RESOURCE_EXHAUSTED" not in str(e) or attempt == n_attempts - 1:
                     raise
-                logger.warning(
-                    "plain batch transfer hit RESOURCE_EXHAUSTED (attempt %d);"
-                    " syncing and retrying", attempt + 1)
+                if attempt == 0:
+                    logger.warning(
+                        "batch transfer hit RESOURCE_EXHAUSTED; entering "
+                        "patience ladder (relay backlog drains over minutes)")
                 try:
                     np.asarray(min(jax.tree.leaves(self.model_params),
                                    key=lambda l: l.size))
                 except Exception:
                     pass
-                time.sleep(5.0 * (attempt + 1))
+                time.sleep(10.0 * (attempt + 1))
 
     # ------------------------------------------------------------------
     # training loop
