@@ -589,30 +589,51 @@ class Trainer:
         if key not in self._reshard_fns:
             self._reshard_fns[key] = jax.jit(lambda t: t, out_shardings=sharding)
 
-        # patience ladder: the remote relay's staging for dead clients
-        # drains over MINUTES; a transfer that fails now reliably succeeds
-        # once the backlog clears. Alternate the sharded and plain+reshard
-        # transfer paths, backing off up to ~7 minutes total before
-        # concluding a genuine OOM.
-        n_attempts = 10
-        for attempt in range(n_attempts):
+        # fallback ladder: a full-size transfer from a process holding the
+        # flagship training state spuriously fails with RESOURCE_EXHAUSTED
+        # on the relay transport while SMALLER transfers keep working —
+        # degrade to plain-put + on-device reshard, then to chunked
+        # transfers (slices along the widest axis + jitted concat), with
+        # short backoffs. A genuine capacity OOM exhausts the ladder.
+        plans = [("sharded", None), ("plain", None), ("chunk", 64 << 20),
+                 ("chunk", 32 << 20), ("plain", None), ("chunk", 16 << 20),
+                 ("chunk", 8 << 20), ("chunk", 8 << 20)]
+        for attempt, (mode, max_bytes) in enumerate(plans):
             try:
-                if attempt % 2 == 0:
+                if mode == "sharded":
                     return jax.device_put(x, sharding)
-                return self._reshard_fns[key](jnp.asarray(x))
+                if mode == "plain":
+                    return self._reshard_fns[key](jnp.asarray(x))
+                return self._chunked_put(x, sharding, max_bytes)
             except jax.errors.JaxRuntimeError as e:
-                if "RESOURCE_EXHAUSTED" not in str(e) or attempt == n_attempts - 1:
+                if "RESOURCE_EXHAUSTED" not in str(e) or attempt == len(plans) - 1:
                     raise
-                if attempt == 0:
-                    logger.warning(
-                        "batch transfer hit RESOURCE_EXHAUSTED; entering "
-                        "patience ladder (relay backlog drains over minutes)")
+                logger.warning(
+                    "batch transfer (%s) hit RESOURCE_EXHAUSTED; degrading "
+                    "transfer path (attempt %d)", mode, attempt + 1)
                 try:
                     np.asarray(min(jax.tree.leaves(self.model_params),
                                    key=lambda l: l.size))
                 except Exception:
                     pass
-                time.sleep(10.0 * (attempt + 1))
+                time.sleep(5.0 * (attempt + 1))
+
+    def _chunked_put(self, x, sharding, max_bytes):
+        """Transfer x in <=max_bytes slices along its widest axis and
+        reassemble on device with a jitted concatenate."""
+        x = np.asarray(x)
+        axis = int(np.argmax(x.shape))
+        n = x.shape[axis]
+        bytes_per_index = x.nbytes // max(n, 1)
+        per = max(1, int(max_bytes // max(bytes_per_index, 1)))
+        idx = lambda i: (slice(None),) * axis + (slice(i, i + per),)
+        parts = [jnp.asarray(np.ascontiguousarray(x[idx(i)]))
+                 for i in range(0, n, per)]
+        key = ("concat", x.shape, str(x.dtype), sharding, axis, per)
+        if key not in self._reshard_fns:
+            self._reshard_fns[key] = jax.jit(
+                lambda *p: jnp.concatenate(p, axis=axis), out_shardings=sharding)
+        return self._reshard_fns[key](*parts)
 
     # ------------------------------------------------------------------
     # training loop
