@@ -197,6 +197,20 @@ class Trainer:
         np.asarray(min(jax.tree.leaves(self.opt_state),
                        key=lambda l: getattr(l, "size", 1 << 62)))
 
+        # warm the host->device transfer path: the FIRST transfer of a
+        # process pays a long one-time relay warmup (~60 s measured at
+        # flagship batch size) and spuriously RESOURCE_EXHAUSTs when that
+        # first transfer is the real batch put racing the data-loader
+        # threads. Stage a throwaway batch-scale transfer now, while the
+        # host is otherwise idle (no-op cost on directly-attached devices).
+        if jax.default_backend() not in ("cpu",):
+            try:
+                warm = jnp.asarray(np.zeros((64, 1024, 1024), np.float32))
+                float(warm.ravel()[0])
+                del warm
+            except Exception as e:  # never block construction on the warmup
+                logger.warning("transfer-path warmup failed: %s", str(e)[:120])
+
         # shard parameters + optimizer state over the model-parallel axes
         # (replaces the reference's is_shared_mp/sharded_dims_mp protocol +
         # gradient hooks, ref: makani/mpu/mappings.py:30-174). Any
