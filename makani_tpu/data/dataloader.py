@@ -160,6 +160,18 @@ class PrefetchingLoader:
             return tuple(samples[0][i][None] for i in range(n_fields))
         return tuple(np.stack([s[i] for s in samples], axis=0) for i in range(n_fields))
 
+    def wait_prefetch_idle(self, timeout=180):
+        """Block until no prefetch read is in flight. Host-contention
+        escape hatch for remote-relay backends: a host->device transfer
+        streamed while the read workers saturate a small host can starve
+        and fail spuriously (see Trainer._put_with_retry). Steady-state
+        overlap is unaffected — callers use this only for an epoch's first
+        transfers and on transfer-retry paths."""
+        import concurrent.futures as cf
+        fs = [f for f in getattr(self, "_inflight", []) if f is not None]
+        if fs:
+            cf.wait(fs, timeout=timeout)
+
     def __iter__(self):
         indices = self._epoch_indices()
         batches = [indices[i * self.batch_size: (i + 1) * self.batch_size]
@@ -172,6 +184,7 @@ class PrefetchingLoader:
 
         depth = min(self.prefetch_depth, len(batches))
         futures = [self._executor.submit(load_batch, i) for i in range(depth)]
+        self._inflight = futures
         for i in range(len(batches)):
             batch = futures[i % depth].result()
             nxt = i + depth

@@ -609,6 +609,12 @@ class Trainer:
         # degrade to plain-put + on-device reshard, then to chunked
         # transfers (slices along the widest axis + jitted concat), with
         # short backoffs. A genuine capacity OOM exhausts the ladder.
+        # the dominant spurious-failure mode is a transfer streamed WHILE
+        # the prefetch read workers saturate the (small) host: quiesce the
+        # loaders for an epoch's first transfers, and always on retries
+        if getattr(self, "iters", 0) <= 1:
+            self._quiesce_loaders()
+
         plans = [("sharded", None), ("plain", None), ("chunk", 64 << 20),
                  ("chunk", 32 << 20), ("plain", None), ("chunk", 16 << 20),
                  ("chunk", 8 << 20), ("chunk", 8 << 20)]
@@ -623,14 +629,23 @@ class Trainer:
                 if "RESOURCE_EXHAUSTED" not in str(e) or attempt == len(plans) - 1:
                     raise
                 logger.warning(
-                    "batch transfer (%s) hit RESOURCE_EXHAUSTED; degrading "
-                    "transfer path (attempt %d)", mode, attempt + 1)
+                    "batch transfer (%s) hit RESOURCE_EXHAUSTED; quiescing "
+                    "loaders and degrading transfer path (attempt %d)",
+                    mode, attempt + 1)
+                self._quiesce_loaders()
                 try:
                     np.asarray(min(jax.tree.leaves(self.model_params),
                                    key=lambda l: l.size))
                 except Exception:
                     pass
                 time.sleep(5.0 * (attempt + 1))
+
+    def _quiesce_loaders(self):
+        for dl in (getattr(self, "train_dataloader", None),
+                   getattr(self, "valid_dataloader", None)):
+            fn = getattr(dl, "wait_prefetch_idle", None)
+            if fn is not None:
+                fn()
 
     def _chunked_put(self, x, sharding, max_bytes):
         """Transfer x in <=max_bytes slices along its widest axis and
