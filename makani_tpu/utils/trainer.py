@@ -609,11 +609,17 @@ class Trainer:
         # degrade to plain-put + on-device reshard, then to chunked
         # transfers (slices along the widest axis + jitted concat), with
         # short backoffs. A genuine capacity OOM exhausts the ladder.
-        # the dominant spurious-failure mode is a transfer streamed WHILE
-        # the prefetch read workers saturate the (small) host: quiesce the
-        # loaders for an epoch's first transfers, and always on retries
-        if getattr(self, "iters", 0) <= 1:
+        # the dominant spurious-failure mode (axon relay): an epoch's FIRST
+        # full-size transfer fails when dispatched immediately after the
+        # loader starts, and a failed first attempt poisons the connection
+        # for every retry path/size. Empirically (round-5 tb_sleep A/B,
+        # 2/2 vs 0/8) a ~15 s pre-settle before the first attempt prevents
+        # it entirely. Applied once per epoch, off-CPU only.
+        if getattr(self, "_transfer_presettle", False):
+            self._transfer_presettle = False
             self._quiesce_loaders()
+            if jax.default_backend() not in ("cpu",):
+                time.sleep(15.0)
 
         plans = [("sharded", None), ("plain", None), ("chunk", 64 << 20),
                  ("chunk", 32 << 20), ("plain", None), ("chunk", 16 << 20),
@@ -732,6 +738,7 @@ class Trainer:
 
     def train_one_epoch(self):
         self.epoch += 1
+        self._transfer_presettle = True
         total_data_bytes = 0
         train_steps = 0
         train_start = time.perf_counter_ns()
@@ -823,6 +830,7 @@ class Trainer:
         return train_time, total_data_gb, logs
 
     def validate_one_epoch(self, epoch):
+        self._transfer_presettle = True
         buffers = self.metrics.initialize_buffers()
         valid_start = time.time()
 
