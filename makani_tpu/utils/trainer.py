@@ -610,16 +610,24 @@ class Trainer:
         # transfers (slices along the widest axis + jitted concat), with
         # short backoffs. A genuine capacity OOM exhausts the ladder.
         # the dominant spurious-failure mode (axon relay): an epoch's FIRST
-        # full-size transfer fails when dispatched immediately after the
-        # loader starts, and a failed first attempt poisons the connection
-        # for every retry path/size. Empirically (round-5 tb_sleep A/B,
-        # 2/2 vs 0/8) a ~15 s pre-settle before the first attempt prevents
-        # it entirely. Applied once per epoch, off-CPU only.
+        # full-size transfer often fails, and a failed big transfer poisons
+        # the connection for every retry path and size. Across all round-5
+        # probes, processes whose transfers RAMPED (small slices first)
+        # succeeded 4/4 while full-size-first succeeded ~3/11 — so the
+        # epoch-first batch goes through an escalating chunked ramp after a
+        # loader quiesce + short settle, and never risks a big first message.
         if getattr(self, "_transfer_presettle", False):
             self._transfer_presettle = False
             self._quiesce_loaders()
             if jax.default_backend() not in ("cpu",):
                 time.sleep(15.0)
+                try:
+                    return self._ramp_put(x, sharding)
+                except jax.errors.JaxRuntimeError as e:
+                    if "RESOURCE_EXHAUSTED" not in str(e):
+                        raise
+                    logger.warning("ramped epoch-first transfer failed; "
+                                   "entering degradation ladder")
 
         plans = [("sharded", None), ("plain", None), ("chunk", 64 << 20),
                  ("chunk", 32 << 20), ("plain", None), ("chunk", 16 << 20),
@@ -652,6 +660,33 @@ class Trainer:
             fn = getattr(dl, "wait_prefetch_idle", None)
             if fn is not None:
                 fn()
+
+    def _ramp_put(self, x, sharding):
+        """Escalating-size chunked transfer: slices along the widest axis
+        sized ~[4, 16, 64, 64, ...] MB, reassembled on device by a jitted
+        concatenate — warms the transfer path without ever risking a large
+        first message."""
+        x = np.asarray(x)
+        axis = int(np.argmax(x.shape))
+        n = x.shape[axis]
+        bytes_per_index = x.nbytes // max(n, 1)
+        sizes_mb = [4, 16, 64]
+        counts, i = [], 0
+        while i < n:
+            mb = sizes_mb[min(len(counts), len(sizes_mb) - 1)]
+            per = max(1, int((mb << 20) // max(bytes_per_index, 1)))
+            counts.append(min(per, n - i))
+            i += counts[-1]
+        idx = lambda s, c: (slice(None),) * axis + (slice(s, s + c),)
+        parts, s = [], 0
+        for c in counts:
+            parts.append(jnp.asarray(np.ascontiguousarray(x[idx(s, c)])))
+            s += c
+        key = ("ramp", x.shape, str(x.dtype), sharding, tuple(counts))
+        if key not in self._reshard_fns:
+            self._reshard_fns[key] = jax.jit(
+                lambda *p: jnp.concatenate(p, axis=axis), out_shardings=sharding)
+        return self._reshard_fns[key](*parts)
 
     def _chunked_put(self, x, sharding, max_bytes):
         """Transfer x in <=max_bytes slices along its widest axis and
