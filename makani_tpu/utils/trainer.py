@@ -588,7 +588,10 @@ class Trainer:
                     return None
                 return self._put_with_retry(x, sharding)
 
-        return put(inp), put(tar), put(zen_inp), put(zen_tar)
+        out = (put(inp), put(tar), put(zen_inp), put(zen_tar))
+        self._transfer_presettle = False
+        self._presettle_slept = False
+        return out
 
     def _put_with_retry(self, x, sharding):
         """device_put with a RESOURCE_EXHAUSTED fallback ladder for remote-
@@ -617,10 +620,13 @@ class Trainer:
         # epoch-first batch goes through an escalating chunked ramp after a
         # loader quiesce + short settle, and never risks a big first message.
         if getattr(self, "_transfer_presettle", False):
-            self._transfer_presettle = False
+            # NOTE: the flag covers every array of the batch; _device_batch
+            # clears it after all four puts
             self._quiesce_loaders()
             if jax.default_backend() not in ("cpu",):
-                time.sleep(15.0)
+                if not getattr(self, "_presettle_slept", False):
+                    self._presettle_slept = True
+                    time.sleep(15.0)
                 try:
                     return self._ramp_put(x, sharding)
                 except jax.errors.JaxRuntimeError as e:
