@@ -612,28 +612,27 @@ class Trainer:
         # degrade to plain-put + on-device reshard, then to chunked
         # transfers (slices along the widest axis + jitted concat), with
         # short backoffs. A genuine capacity OOM exhausts the ladder.
-        # the dominant spurious-failure mode (axon relay): an epoch's FIRST
-        # full-size transfer often fails, and a failed big transfer poisons
-        # the connection for every retry path and size. Across all round-5
-        # probes, processes whose transfers RAMPED (small slices first)
-        # succeeded 4/4 while full-size-first succeeded ~3/11 — so the
-        # epoch-first batch goes through an escalating chunked ramp after a
-        # loader quiesce + short settle, and never risks a big first message.
-        if getattr(self, "_transfer_presettle", False):
-            # NOTE: the flag covers every array of the batch; _device_batch
-            # clears it after all four puts
+        # the dominant spurious-failure mode (axon relay): a full-size
+        # transfer streamed while the prefetch workers own the host fails,
+        # and a failed big transfer poisons the connection for every retry
+        # path and size. On remote backends EVERY batch transfer therefore
+        # goes through quiesce + the escalating chunked ramp (round-5
+        # probes: ramped transfers 4/4, full-size-first ~3/11); the
+        # epoch-first one additionally waits out a short settle. Set
+        # serialize_transfers: false to restore raw overlapped puts on
+        # directly-attached hardware.
+        if jax.default_backend() not in ("cpu",)                 and self.params.get("serialize_transfers", True):
             self._quiesce_loaders()
-            if jax.default_backend() not in ("cpu",):
-                if not getattr(self, "_presettle_slept", False):
-                    self._presettle_slept = True
-                    time.sleep(15.0)
-                try:
-                    return self._ramp_put(x, sharding)
-                except jax.errors.JaxRuntimeError as e:
-                    if "RESOURCE_EXHAUSTED" not in str(e):
-                        raise
-                    logger.warning("ramped epoch-first transfer failed; "
-                                   "entering degradation ladder")
+            if getattr(self, "_transfer_presettle", False)                     and not getattr(self, "_presettle_slept", False):
+                self._presettle_slept = True
+                time.sleep(15.0)
+            try:
+                return self._ramp_put(x, sharding)
+            except jax.errors.JaxRuntimeError as e:
+                if "RESOURCE_EXHAUSTED" not in str(e):
+                    raise
+                logger.warning("ramped transfer failed; "
+                               "entering degradation ladder")
 
         plans = [("sharded", None), ("plain", None), ("chunk", 64 << 20),
                  ("chunk", 32 << 20), ("plain", None), ("chunk", 16 << 20),
