@@ -185,6 +185,10 @@ def bench_loader_gate():
     params = init_dataset(tmp, params, n_samples_per_year=samples, n_years=1)
     params["batch_size"] = 1
     params["num_data_workers"] = int(os.environ.get("BENCH_WORKERS", 4))
+    # BENCH_ODIRECT=1: route the gate through O_DIRECT preads (page cache
+    # bypassed in csrc) — the verdict-r4 #5 rate question is measured HERE,
+    # at the flagship sample shape, not on the small bench_loader shapes
+    params["enable_odirect"] = bool(int(os.environ.get("BENCH_ODIRECT", 0)))
 
     bin_dir = os.path.join(tmp, "bin")
     convert_h5_to_bin(params.train_data_path, bin_dir)
