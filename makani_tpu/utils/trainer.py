@@ -198,14 +198,18 @@ class Trainer:
                        key=lambda l: getattr(l, "size", 1 << 62)))
 
         # warm the host->device transfer path: the FIRST transfer of a
-        # process pays a long one-time relay warmup (~60 s measured at
-        # flagship batch size) and spuriously RESOURCE_EXHAUSTs when that
-        # first transfer is the real batch put racing the data-loader
-        # threads. Stage a throwaway batch-scale transfer now, while the
-        # host is otherwise idle (no-op cost on directly-attached devices).
-        if jax.default_backend() not in ("cpu",):
+        # process pays a long one-time relay warmup (~60 s measured; paid by
+        # ANY size — a 4 MB probe measured 52.9 s, scripts/transfer_diag.py)
+        # and spuriously RESOURCE_EXHAUSTs when it is the real batch put
+        # racing the data-loader threads. Keep the warm SMALL: a batch-scale
+        # (268 MB) warm was round-5's prime suspect for poisoning the relay
+        # staging path — with it, every subsequent put down to 4 MB chunks
+        # failed for minutes; without it (MAKANI_NO_WARM=1) the same
+        # lifecycle passed every probe (runs/r5_transfer_diag.log).
+        if jax.default_backend() not in ("cpu",) \
+                and not int(os.environ.get("MAKANI_NO_WARM", 0)):
             try:
-                warm = jnp.asarray(np.zeros((64, 1024, 1024), np.float32))
+                warm = jnp.asarray(np.zeros((1, 1024, 1024), np.float32))
                 float(warm.ravel()[0])
                 del warm
             except Exception as e:  # never block construction on the warmup
