@@ -635,8 +635,8 @@ class Trainer:
             except jax.errors.JaxRuntimeError as e:
                 if "RESOURCE_EXHAUSTED" not in str(e):
                     raise
-                logger.warning("ramped transfer failed; "
-                               "entering degradation ladder")
+                logger.warning("ramped transfer failed (%s); "
+                               "entering degradation ladder", repr(e)[:200])
 
         plans = [("sharded", None), ("plain", None), ("chunk", 64 << 20),
                  ("chunk", 32 << 20), ("plain", None), ("chunk", 16 << 20),
@@ -674,7 +674,17 @@ class Trainer:
         """Escalating-size chunked transfer: slices along the widest axis
         sized ~[4, 16, 64, 64, ...] MB, reassembled on device by a jitted
         concatenate — warms the transfer path without ever risking a large
-        first message."""
+        first message.
+
+        Each chunk is MATERIALIZED (one-element host fetch) before the next
+        is dispatched: plain jnp.asarray dispatches are async, so without
+        the sync every chunk streams CONCURRENTLY through the relay — and
+        concurrent streams are precisely what the relay transport chokes on
+        (round-5 diagnosis: serial individually-materialized puts of
+        4/64/300 MB pass 100% in every lifecycle stage while the async
+        ramp fails even at its 4 MB leading chunk; a failed transfer then
+        poisons the connection for every retry size for minutes —
+        runs/r5_transfer_diag.log vs r5_trainer_bench2.log)."""
         x = np.asarray(x)
         axis = int(np.argmax(x.shape))
         n = x.shape[axis]
@@ -688,8 +698,21 @@ class Trainer:
             i += counts[-1]
         idx = lambda s, c: (slice(None),) * axis + (slice(s, s + c),)
         parts, s = [], 0
-        for c in counts:
-            parts.append(jnp.asarray(np.ascontiguousarray(x[idx(s, c)])))
+        zero = (0,) * x.ndim
+        for ci, c in enumerate(counts):
+            try:
+                part = jnp.asarray(np.ascontiguousarray(x[idx(s, c)]))
+                # force this chunk's transfer to COMPLETE before dispatching
+                # the next (block_until_ready does not truly sync on axon;
+                # a one-element fetch does)
+                float(part[zero])
+            except Exception as e:
+                logger.warning(
+                    "ramp chunk %d/%d (%.0f MB at offset %d) failed: %s",
+                    ci + 1, len(counts), c * bytes_per_index / 1e6, s,
+                    repr(e)[:300])
+                raise
+            parts.append(part)
             s += c
         key = ("ramp", x.shape, str(x.dtype), sharding, tuple(counts))
         if key not in self._reshard_fns:
@@ -706,8 +729,14 @@ class Trainer:
         bytes_per_index = x.nbytes // max(n, 1)
         per = max(1, int(max_bytes // max(bytes_per_index, 1)))
         idx = lambda i: (slice(None),) * axis + (slice(i, i + per),)
-        parts = [jnp.asarray(np.ascontiguousarray(x[idx(i)]))
-                 for i in range(0, n, per)]
+        # serialized like _ramp_put: materialize each chunk before the next
+        # dispatch (concurrent streams are what the relay chokes on)
+        zero = (0,) * x.ndim
+        parts = []
+        for i in range(0, n, per):
+            part = jnp.asarray(np.ascontiguousarray(x[idx(i)]))
+            float(part[zero])
+            parts.append(part)
         key = ("concat", x.shape, str(x.dtype), sharding, axis, per)
         if key not in self._reshard_fns:
             self._reshard_fns[key] = jax.jit(
