@@ -215,6 +215,38 @@ class Trainer:
             except Exception as e:  # never block construction on the warmup
                 logger.warning("transfer-path warmup failed: %s", str(e)[:120])
 
+        # background transfer KEEPALIVE (remote relay backends): the relay
+        # connection idles out after ~15 s without traffic, and the next
+        # host->device put after an idle gap fails with RESOURCE_EXHAUSTED
+        # and poisons the connection for minutes (round-5 bracketing:
+        # every failed drive had a >=15 s idle window before the put; the
+        # diagnostic that never idled passed every probe). A tiny
+        # materialized put every transfer_keepalive_s seconds keeps the
+        # path hot across loader spinup, step compiles (2.5-12 min!) and
+        # epoch boundaries. Paused while a real transfer is in flight.
+        ka = float(params.get("transfer_keepalive_s", 5) or 0)
+        self._ka_busy = None
+        if jax.default_backend() not in ("cpu",) and ka > 0:
+            import threading
+            self._ka_stop = threading.Event()
+            self._ka_busy = threading.Event()
+
+            def _keepalive():
+                buf = np.zeros((256,), np.float32)  # 1 KB
+                while not self._ka_stop.wait(ka):
+                    if self._ka_busy.is_set():
+                        continue
+                    try:
+                        a = jnp.asarray(buf)
+                        float(a[0])
+                        del a
+                    except Exception:
+                        pass  # never let the keepalive kill training
+
+            self._ka_thread = threading.Thread(
+                target=_keepalive, daemon=True, name="transfer-keepalive")
+            self._ka_thread.start()
+
         # shard parameters + optimizer state over the model-parallel axes
         # (replaces the reference's is_shared_mp/sharded_dims_mp protocol +
         # gradient hooks, ref: makani/mpu/mappings.py:30-174). Any
@@ -625,11 +657,27 @@ class Trainer:
         # epoch-first one additionally waits out a short settle. Set
         # serialize_transfers: false to restore raw overlapped puts on
         # directly-attached hardware.
+        if getattr(self, "_ka_busy", None) is not None:
+            self._ka_busy.set()
+        try:
+            return self._put_with_retry_inner(x, sharding, key)
+        finally:
+            if getattr(self, "_ka_busy", None) is not None:
+                self._ka_busy.clear()
+
+    def _put_with_retry_inner(self, x, sharding, key):
         if jax.default_backend() not in ("cpu",)                 and self.params.get("serialize_transfers", True):
             self._quiesce_loaders()
-            if getattr(self, "_transfer_presettle", False)                     and not getattr(self, "_presettle_slept", False):
+            # NOTE round-5: the former 15 s "presettle" sleep here is GONE —
+            # it was measured 0/2 this round while the no-sleep path passed,
+            # consistent with the idle-gap pathology (any >=15 s idle window
+            # immediately before a put kills the connection; see
+            # _keepalive). transfer_presettle_s restores it if ever needed.
+            ps = float(self.params.get("transfer_presettle_s", 0) or 0)
+            if ps > 0 and getattr(self, "_transfer_presettle", False) \
+                    and not getattr(self, "_presettle_slept", False):
                 self._presettle_slept = True
-                time.sleep(15.0)
+                time.sleep(ps)
             try:
                 return self._ramp_put(x, sharding)
             except jax.errors.JaxRuntimeError as e:
