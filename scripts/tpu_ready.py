@@ -26,11 +26,19 @@ t0 = time.time()
 b = jax.jit(lambda: jnp.ones((8,), jnp.float32) * 2)()
 assert float(np.asarray(b)[0]) == 2.0
 lat = time.time() - t0
+# host->device PUT probe (the op that actually fails during relay
+# degradation — round-5: batch puts RESOURCE_EXHAUST while jitted
+# compute+fetch still works). 8 MB, materialized.
+t0 = time.time()
+p = jnp.asarray(np.ones((2, 1024, 1024), np.float32))
+assert float(p[0, 0, 0]) == 1.0
+put_lat = time.time() - t0
+del p
 bufs = []
 for i in range(gb):
     bufs.append(jax.jit(lambda: jnp.ones((1024, 1024, 256), jnp.float32))())
     np.asarray(bufs[-1][0, 0, :2])
-print(f"READY lat={lat:.1f}", flush=True)
+print(f"READY lat={lat:.1f} put={put_lat:.1f}", flush=True)
 '''
 
 
